@@ -1,0 +1,784 @@
+"""Oracle-paired query catalog — the driver correctness surface.
+
+Every operator family from SURVEY.md §2 is expressed here twice: once as a
+PySpark DataFrame plan (``spark_fn(spark, sf_dir) -> DataFrame``) and once
+as ANSI SQL that DuckDB runs on the same parquet files. The driver compares
+row count + schema + order-insensitive value hash at sf=0.01.
+
+Cross-engine parity rules (hard-won, keep these):
+
+- **Name parity**: every computed column is aliased identically on both
+  sides (the driver sorts columns by name before hashing).
+- **Type parity**: DuckDB ``SUM(int)`` returns HUGEINT → always
+  ``CAST(... AS BIGINT)``; Spark ``year()`` returns int32 while DuckDB
+  ``EXTRACT`` returns int64 → cast Spark to ``long``.
+- **Float parity**: round aggregates on BOTH sides (the reference rounds
+  to 2dp everywhere anyway: ``dataprep.py:57-66``). Never emit a raw
+  double → string cast; use printf-style formatting on both sides.
+- **Null parity**: Spark ``pivot`` yields null for empty cells where a
+  SQL ``COUNT(CASE...)`` yields 0 → coalesce the Spark side.
+
+Scale notes are on each entry: which side broadcasts, where the shuffle
+is, why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ieee_round
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with its TIMESTAMP(NANOS) column converted to a usable
+    timestamp (read as long ns via nanosAsLong, truncated to micros — the
+    same truncation DuckDB applies)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def sql_ieee_round(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of functions.scalar.ieee_round — same IEEE op sequence."""
+    m = float(10**scale)
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+@dataclass(frozen=True)
+class Entry:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → driver does rows-only check
+    doc: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Flagship analogs (capstone Q1-Q3 re-expressed on the testdata star schema;
+# reference README.md:169-214). orders≈travelers fact, customer≈airports,
+# nation≈city, region≈statistics.
+# ---------------------------------------------------------------------------
+
+
+def q1_avg_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone Q1 shape (README.md:172-179): per-dim average over the fact,
+    re-joined to a second dim. Dims broadcast; single shuffle on n_name."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            # 6dp: decimal ties at 2dp (sum-of-2dp / n) are common; at 6dp
+            # they're vanishing, and cross-engine ulp noise is << 5e-7
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("avg_price").desc())
+    )
+
+
+Q1_SQL = """
+SELECT n_name,
+       round(avg(o_totalprice), 6) AS avg_price,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY avg_price DESC
+"""
+
+
+def q2_count_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone Q2 shape (README.md:185-194): count per dim through a
+    3-hop join chain fact→dim→dim→dim, ordered by a dim attribute."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "n_name")
+    )
+
+
+Q2_SQL = """
+SELECT n_name, r_name, count(*) AS cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY cnt DESC, n_name
+"""
+
+
+def q3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone Q3 shape (README.md:200-214): per-group count cross-joined
+    with a 1-row grand total (J10), pct-of-total (P17/P18). The total is a
+    broadcast cross join — no shuffle of the grouped side."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = orders.agg(F.count("*").alias("total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            "cnt",
+            ieee_round(F.lit(100.0) * F.col("cnt") / F.col("total"), 2).alias(
+                "pct_of_total"
+            ),
+        )
+        .orderBy(F.col("pct_of_total").desc(), "n_name")
+    )
+
+
+Q3_SQL = """
+WITH per_nation AS (
+    SELECT n_name, count(*) AS cnt
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+), tot AS (SELECT count(*) AS total FROM orders)
+SELECT n_name, cnt,
+       floor((100.0 * cnt / total) * 100.0 + 0.5) / 100.0 AS pct_of_total
+FROM per_nation CROSS JOIN tot
+ORDER BY pct_of_total DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / per-row transforms (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P5/P6/P7: projection + literal equality/inequality/null filters.
+    All predicates reach the parquet scan (PushedFilters)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") != "A")
+        & (F.col("l_quantity") > 30)
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+PROJ_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_returnflag <> 'A' AND l_quantity > 30 AND l_shipdate IS NOT NULL
+"""
+
+
+def derived_cast_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9-P12: casts, arithmetic derived column, 2dp round (the reference's
+    ratio+round pattern, dataprep.py:32,57-66)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        # ieee_round, not F.round: row-level 2dp×2dp products hit decimal
+        # ties where Spark/DuckDB round() disagree
+        ieee_round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 2
+        ).alias("net_price"),
+        ieee_round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
+            "unit_price"
+        ),
+    )
+
+
+DERIVED_CAST_ROUND_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS INTEGER) AS qty_int,
+       {sql_ieee_round("l_extendedprice * (1.0 - l_discount)")} AS net_price,
+       {sql_ieee_round("l_extendedprice / l_quantity")} AS unit_price
+FROM lineitem
+"""
+
+
+def string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: delimiter split → columns (reference splits coords/regions,
+    dataprep.py:114,122)."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("name_noun"),
+    )
+
+
+STRING_SPLIT_SQL = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS name_adj,
+       string_split(p_name, ' ')[2] AS name_noun
+FROM part
+"""
+
+
+def cond_compass_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: sign-conditional compass formatting (reference dataprep.py:
+    144-145) on acctbal. printf on both sides → identical strings."""
+    cust = t(spark, sf_dir, "customer")
+    mag = F.format_string("%.2f", F.abs(F.col("c_acctbal")))
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.concat(mag, F.lit("S")))
+        .otherwise(F.concat(mag, F.lit("N")))
+        .alias("bal_compass"),
+    )
+
+
+COND_COMPASS_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN printf('%.2f', abs(c_acctbal)) || 'S'
+            ELSE printf('%.2f', abs(c_acctbal)) || 'N' END AS bal_compass
+FROM customer
+"""
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: year/month/day extraction (reference dataprep.py:159-160,
+    215-217). Cast to long: DuckDB EXTRACT returns int64."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+    )
+
+
+DATE_PARTS_SQL = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       EXTRACT(month FROM o_orderdate) AS o_month,
+       EXTRACT(day FROM o_orderdate) AS o_day
+FROM orders
+"""
+
+
+def sas_date_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16: SAS day-offset → date as a built-in (replaces the reference's
+    only Python UDF, dataprep.py:210-212). Offset synthesized from
+    l_linenumber * l_orderkey for variety; null-safe."""
+    li = t(spark, sf_dir, "lineitem")
+    days = (F.col("l_orderkey") % 20000).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_add(F.lit("1960-01-01").cast("date"), days).alias("sas_date"),
+    )
+
+
+SAS_DATE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       DATE '1960-01-01' + CAST(l_orderkey % 20000 AS INTEGER) AS sas_date
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-style left outer join keeping unmatched dim rows (zero counts)."""
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers")
+    )
+    return nation.join(
+        per_nation, nation["n_nationkey"] == per_nation["c_nationkey"], "left"
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT n_nationkey, n_name,
+       COALESCE(cnt.n_customers, 0) AS n_customers
+FROM nation
+LEFT JOIN (
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+) cnt ON n_nationkey = cnt.c_nationkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence filtering without dim columns (the honest
+    primitive behind the reference's dim-filtering inner joins, J6)."""
+    supplier = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    return supplier.join(
+        li, supplier["s_suppkey"] == li["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+JOIN_SEMI_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: multi-hop chain lineitem→orders→customer→nation→region with a
+    revenue aggregate (TPC-H Q5 shape). Only lineitem⋈orders shuffles;
+    every dim is broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            # sum per-row-rounded values: the true sum then sits on the 2dp
+            # grid, so the final round never lands near a tie boundary
+            F.round(
+                F.sum(
+                    ieee_round(
+                        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                        2,
+                    )
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+JOIN_MULTIWAY_SQL = f"""
+SELECT r_name,
+       round(sum({sql_ieee_round("l_extendedprice * (1.0 - l_discount)")}), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct on a column subset (city-dim dedup shape)."""
+    customer = t(spark, sf_dir, "customer")
+    return customer.select("c_nationkey", "c_mktsegment").distinct()
+
+
+AGG_DISTINCT_SQL = """
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: pivot long→wide (the reference's 5-merge race pivot done as one
+    shuffle; dataprep.py:26-32). Explicit value list skips the discovery
+    pass; coalesce matches SQL's 0-for-empty."""
+    orders = t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))  # Spark 4 rejects count(*) inside pivot
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_pending"),
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS cnt_open,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS cnt_finished,
+       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS cnt_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 made deterministic: the reference's sort+drop_duplicates
+    (dataprep.py:40) as row_number()==1 over an explicit order — latest
+    order per customer, orderkey as tiebreak."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+DEDUP_FIRST_WINS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+) = 1
+"""
+
+
+def agg_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5/A6/A7 composite: TPC-H Q1 pricing summary — the canonical
+    partial+final hash-agg workload (8 aggregates, 2 group keys)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = ieee_round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 2
+    )
+    charge = ieee_round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+        2,
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # sums of exact-2dp inputs: final round is tie-free
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            # avgs at 6dp: tie probability negligible, ulp noise << 5e-7
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+AGG_STATS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum({sql_ieee_round("l_extendedprice * (1.0 - l_discount)")}), 2)
+           AS sum_disc_price,
+       round(sum({sql_ieee_round("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}), 2)
+           AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows / ranking (SURVEY §2.8 — introduced for IDENTITY keys + top-k)
+# ---------------------------------------------------------------------------
+
+
+def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTITY-key replacement (SURVEY §7): dense row_number over an
+    explicit order, on a dimension-sized input."""
+    nation = t(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return nation.select(
+        F.row_number().over(w).cast("long").alias("nation_id"), "n_name"
+    )
+
+
+SURROGATE_IDS_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS nation_id, n_name
+FROM nation
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer nation (deterministic
+    tiebreak on orderkey)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_nationkey", F.col("rk").cast("long").alias("rk"), "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+TOPK_SQL = """
+SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+FROM (
+    SELECT c_nationkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rk
+    FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6 — free in the new engine)
+# ---------------------------------------------------------------------------
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+SET_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no suppliers."""
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+SET_EXCEPT_SQL = """
+SELECT DISTINCT nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: time-series / JSON (events table)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregate: per-hour per-type counts + sums
+    (the batch twin of the streaming surface)."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column."""
+    ev = t(spark, sf_dir, "events")  # no ts needed; raw read is fine
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis on documents (north-star extension surface)
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats per document (whitespace tokenizer),
+    all JVM-side — no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_unique_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup fingerprint: md5 of normalized text (lowercase, collapsed
+    whitespace). The grouping key for exact dedup at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint group-by: canonical doc (min id) per
+    distinct content + dup count. Pure shuffle-on-hash — scales linearly."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+CATALOG: dict[str, Entry] = {
+    "q1_avg_price_by_nation": Entry(q1_avg_price_by_nation, Q1_SQL),
+    "q2_count_by_nation_region": Entry(q2_count_by_nation_region, Q2_SQL),
+    "q3_pct_of_total": Entry(q3_pct_of_total, Q3_SQL),
+    "proj_filter": Entry(proj_filter, PROJ_FILTER_SQL),
+    "derived_cast_round": Entry(derived_cast_round, DERIVED_CAST_ROUND_SQL),
+    "string_split": Entry(string_split, STRING_SPLIT_SQL),
+    "cond_compass_format": Entry(cond_compass_format, COND_COMPASS_SQL),
+    "date_parts": Entry(date_parts, DATE_PARTS_SQL),
+    "sas_date_convert": Entry(sas_date_convert, SAS_DATE_SQL),
+    "join_left_counts": Entry(join_left_counts, JOIN_LEFT_SQL),
+    "join_semi": Entry(join_semi, JOIN_SEMI_SQL),
+    "join_anti": Entry(join_anti, JOIN_ANTI_SQL),
+    "join_multiway_revenue": Entry(join_multiway_revenue, JOIN_MULTIWAY_SQL),
+    "agg_distinct": Entry(agg_distinct, AGG_DISTINCT_SQL),
+    "agg_pivot": Entry(agg_pivot, AGG_PIVOT_SQL),
+    "dedup_first_wins": Entry(dedup_first_wins, DEDUP_FIRST_WINS_SQL),
+    "agg_stats_summary": Entry(agg_stats_summary, AGG_STATS_SQL),
+    "surrogate_ids": Entry(surrogate_ids, SURROGATE_IDS_SQL),
+    "topk_per_group": Entry(topk_per_group, TOPK_SQL),
+    "set_union": Entry(set_union, SET_UNION_SQL),
+    "set_except": Entry(set_except, SET_EXCEPT_SQL),
+    "events_hourly": Entry(events_hourly, EVENTS_HOURLY_SQL),
+    "events_json": Entry(events_json, EVENTS_JSON_SQL),
+    "text_token_stats": Entry(text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "doc_fingerprint": Entry(doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "dedup_exact": Entry(dedup_exact, DEDUP_EXACT_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.spark_fn for name, e in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.sql for name, e in CATALOG.items() if e.sql is not None}

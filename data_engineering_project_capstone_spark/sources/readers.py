@@ -1,0 +1,83 @@
+"""Declarative source layer.
+
+Replaces the reference's three ingestion paths — pandas ``read_csv``
+(``dataprep.py:19,102,155``), the sas7bdat Spark connector
+(``dataprep.py:197-201``), and Redshift ``COPY`` (``sql_queries.py:93-122``) —
+with Spark readers that keep filter pushdown and column pruning intact.
+
+Design notes for scale: always pass an explicit schema (no ``inferSchema``
+pass over 100 TB), and let the parquet reader prune columns/row-groups from
+the declarative plan. The Redshift staging hop disappears entirely: a scan
+*is* the staging table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with custom delimiter (S1/S2; reference dataprep.py:19,102,155)."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)  # convenience path; tests only
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — the engine's default columnar source."""
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_sas(spark: SparkSession, path: str) -> DataFrame:
+    """SAS sas7bdat scan (S3; reference dataprep.py:197-201).
+
+    The saurfang spark-sas7bdat connector is not in this image; gate it so
+    the source layer stays pluggable. Tests feed SAS-shaped parquet/CSV
+    fixtures through :data:`schemas.STAGING_TRAVELERS` instead.
+    """
+    try:
+        return spark.read.format("com.github.saurfang.sas.spark").load(path)
+    except Exception as exc:  # pragma: no cover - connector not installed
+        raise NotImplementedError(
+            "sas7bdat connector not on classpath; convert to parquet upstream "
+            "or add the spark-sas7bdat package"
+        ) from exc
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, *names: str
+) -> dict[str, DataFrame]:
+    """Load driver testdata tables (``{sf_dir}/{name}.parquet``) as a dict."""
+    from ..schemas import TESTDATA_TABLES
+
+    use = names or TESTDATA_TABLES
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in use}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql() access."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,82 @@
+"""Local twin of the driver's DuckDB-oracle gate.
+
+Runs every catalog entry both ways (PySpark and DuckDB) on the same parquet
+and compares row count, column names, and order-insensitive values. Catching
+a mismatch here is one pytest run; catching it in CORRECTNESS_r{N}.json is a
+whole round.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return v
+
+
+def _rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_catalog_matches_oracle(spark, ddb, name):
+    entry = CATALOG[name]
+    sdf = entry.spark_fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if entry.sql is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+
+    res = ddb.execute(entry.sql)
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(ddb_rows), f"{name}: row count differs"
+    sset = _rowset(spark_rows, spark_cols)
+    dset = _rowset(ddb_rows, ddb_cols)
+    mism = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b][:3]
+    assert sset == dset, (
+        f"{name}: values differ; first mismatches at sorted idx {mism}: "
+        + "; ".join(f"spark={sset[i]} duck={dset[i]}" for i in mism)
+    )
