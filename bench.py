@@ -29,6 +29,10 @@ HEADLINE = [
     "dedup_exact",            # fingerprint dedup on documents
     "text_token_stats",       # text analysis
     "events_hourly",          # time-bucket aggregation
+    "events_sessionize",      # lag+cumsum sessionization
+    "dedup_minhash_lsh",      # banded MinHash near-dup
+    "similarity_topk",        # brute-force cosine ANN baseline
+    "join_asof_events",       # as-of join composition
 ]
 
 

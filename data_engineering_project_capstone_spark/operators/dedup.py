@@ -1,0 +1,391 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five dedup families, each a first-class operator (BASELINE.json north-star):
+
+- exact          — hash-groupBy on a normalized fingerprint (one shuffle).
+- n-gram Jaccard — min-shingle blocking + in-bucket pairwise Jaccard.
+- MinHash + LSH  — k-hash signatures, banded bucketing, candidate join,
+                   exact-Jaccard verification.
+- SimHash        — 64-bit bit-vote signature + banded hamming candidates.
+- embedding      — cosine near-dup over `array<float>` embeddings.
+
+Scale design: every family is {narrow map → shuffle on a blocking key →
+in-bucket pairing}. Nothing is O(n²) across the corpus; the quadratic step
+is confined to buckets, and bucket size is capped (``max_bucket``) so one
+hot bucket can't take down a stage — the standard trade (a pathological
+bucket loses recall instead of the job).
+
+All hashing is ``xxhash64`` (JVM, codegen) — Python never touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ieee_round
+from .text import tokens
+
+# --------------------------------------------------------------------------
+# Shared: shingling
+# --------------------------------------------------------------------------
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text."""
+    toks = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """md5 of whitespace-collapsed lowercase text — the exact-dup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized content.
+
+    One hash shuffle on the fingerprint; at 100 TB this is the cheapest
+    possible dedup — map-side partial aggregation collapses most duplicate
+    mass before the shuffle.
+    """
+    fp = normalized_fingerprint(text_col)
+    keep = (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard with min-shingle blocking
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word shingles, blocked on the
+    minimum shingle hash (MinHash with k=1 as the blocking key).
+
+    Docs with Jaccard ≥ t share their min-shingle with probability ≥ t, so
+    blocking on it keeps most true pairs while reducing the cross join to
+    within-bucket pairs. Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+        )
+        .withColumn("block", F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s))))
+    )
+    sh = sh.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("block"))
+    ).filter(F.col("bsz") <= max_bucket)
+    a = sh.select(
+        F.col("block"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("block"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            ieee_round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, sh, sig array<long>).
+
+    Shape matters: explode shingles then ONE groupBy with k flat min()
+    aggregates. The tempting alternative — k nested
+    array_min(transform(...)) expressions in a single projection — builds
+    an expression tree that takes minutes to codegen-compile and re-walks
+    the shingle array k times per row. Exploding costs one shuffle on the
+    doc id and keeps every aggregate a flat column op.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        # hashed shingles: set semantics survive (xxhash64 collisions are
+        # negligible) and downstream set-intersections run on longs, not
+        # hundreds of strings — the difference between a cheap verify and
+        # a quadratic string-comparison hotspot
+        F.array_distinct(
+            F.transform(
+                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = sig.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    return sh.join(sig, "id")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by exact
+    Jaccard. With 32 hashes in 8 bands of 4 rows, the S-curve crosses ~0.5:
+    pairs with J≥0.6 are caught w.p. ≥ 1-(1-0.6⁴)⁸ ≈ 0.70, J≤0.2 w.p. ≈ 1%.
+
+    Pipeline: signature (narrow) → explode bands (×8) → shuffle on
+    (band, band_hash) → in-bucket pairing (capped) → exact-Jaccard verify.
+    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    base = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    base = base.cache()  # sh reused by candidate verify; sig by banding
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col("sig").getItem(bi * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bhash"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    # candidates carry ONLY ids: the shingle arrays are wide (hundreds of
+    # strings/doc) and must not ride through the band explode, bucket
+    # shuffle, and pair dedup — they're joined back once for verification
+    buckets = base.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    )
+    # cap pathological buckets (hot-bucket guard: lose recall, not the job)
+    bucket_size = F.count(F.lit(1)).over(Window.partitionBy("band", "bhash"))
+    buckets = buckets.withColumn("bsz", bucket_size).filter(
+        F.col("bsz") <= max_bucket
+    )
+    a = buckets.select("band", "bhash", F.col("id").alias("id_a"))
+    b = buckets.select("band", "bhash", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # two-phase verify: (1) cheap signature-match estimate (k long
+    # comparisons) culls the candidate flood, (2) exact Jaccard on hashed
+    # shingles only for survivors. On shared-vocabulary corpora the LSH
+    # buckets are dense, so phase 1 is what keeps this linear in practice.
+    sig = base.select("id", "sig")
+    cand = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    # E[est] = true Jaccard; keep a loose margin so phase 2 decides
+    survivors = cand.withColumn("est", est).filter(
+        F.col("est") >= threshold * 0.5
+    ).select("id_a", "id_b")
+
+    sh = base.select("id", "sh")
+    survivors = survivors.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    return survivors.select(
+        "id_a",
+        "id_b",
+        ieee_round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """Per-doc SimHash signature: (id, sig long).
+
+    Each distinct token votes ±1 per bit of its xxhash64; the signature
+    takes the sign of each bit's vote sum. Same shape rationale as
+    :func:`minhash_signatures`: explode + one flat groupBy (60 sums),
+    not a 60-deep nested-aggregate expression. 60 bits keeps the numeric
+    fold inside signed-long range.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by SimHash hamming distance, blocked on 15-bit
+    signature bands (a pair with hamming ≤ bands-1 over the 60 signature
+    bits must match at least one band exactly — pigeonhole). Output:
+    (id_a, id_b, hamming) with hamming ≤ max_hamming."""
+    sig = simhash_signatures(df, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("sig"), bi * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .alias("bkey"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    exploded = sig.select("id", "sig", F.explode(band_structs).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a = exploded.select("band", "bkey", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = exploded.select("band", "bkey", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float> columns, computed as a
+    sequential left fold in double — the op order DuckDB's list_reduce
+    uses, so oracle results are bit-comparable."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, blocked on
+    ``block_col`` (a cluster/label/LSH-bucket column). With no block column
+    this degrades to all-pairs — only for small inputs.
+
+    Output: (id_a, id_b, cos) with id_a < id_b.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    base = df.select(*cols)
+    join_keys = ["block"] if block_col else []
+    a = base.select(
+        *(["block"] if block_col else []),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = base.select(
+        *(["block"] if block_col else []),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = (a.join(b, join_keys) if join_keys else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        ieee_round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

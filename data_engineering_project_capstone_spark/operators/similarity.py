@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths (BASELINE.json north-star):
+
+- :func:`cosine_topk` — brute-force cosine top-k: broadcast the (small)
+  query set against the corpus, rank per query. Exact; the baseline every
+  approximate method is measured against. Cost O(|corpus|·|queries|·d)
+  spread across executors — fine when |queries| is bounded.
+- :func:`lsh_topk` — random-hyperplane LSH: deterministic pseudo-random
+  hyperplanes (seeded from xxhash64, no RNG state), sign-bit bucket key,
+  search only within the query's bucket (optionally multi-probe by
+  hamming-adjacent buckets). The 100 TB path: candidate set shrinks
+  ~2^bits-fold, recall tunable by bits/probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ieee_round
+from .dedup import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Output: (query_id, rank, neighbor_id, cos). Self-matches excluded.
+    Deterministic: ties break on neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ieee_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "cos")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane p is
+    a zero-centered value derived from xxhash64(p, j). No RNG state, so
+    the same plane is regenerated identically on every executor."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(plane), j).cast("double") / F.lit(float(2**63))
+        ),
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Sign-bit bucket key: bit p = sign(<vec, hyperplane_p>)."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    key = F.lit(0).cast("long")
+    for p in range(bits):
+        dot = F.aggregate(
+            F.zip_with(vd, _hyperplane(dim, p), lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        key = key + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return key
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    probes: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the search to the query's LSH bucket,
+    multi-probing hamming-adjacent buckets when ``probes`` > 1.
+
+    Same output shape as :func:`cosine_topk`. Recall < 1 by construction;
+    tests measure it against the exact baseline. At scale the corpus is
+    pre-bucketed once (a write-side partition key), so a query touches
+    ``probes · |corpus| / 2^bits`` candidates — the standard recall/cost
+    dial (probes=1+bits ≈ doubles recall for ~bits× candidate cost).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), dim, bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, bits))
+    if probes > 1:
+        # probe the home bucket plus buckets at hamming distance 1
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(min(probes - 1, bits))
+        ]
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ieee_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "cos")
+    )

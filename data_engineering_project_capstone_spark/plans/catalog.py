@@ -43,7 +43,7 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     same truncation DuckDB applies)."""
     ev = t(spark, sf_dir, "events")
     return ev.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -743,6 +743,327 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Sessionization / rollup / as-of join
+# ---------------------------------------------------------------------------
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (streaming.events.sessionize_batch): 30-min-gap
+    sessions per user via lag + cumulative sum — one shuffle on user_id."""
+    from ..streaming.events import sessionize_batch
+
+    return sessionize_batch(events_table(spark, sf_dir), gap_minutes=30)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+    SELECT event_id, ts, user_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_seq
+    FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof.asof_join): each purchase event matched
+    to the user's most recent signup at-or-before it."""
+    from ..operators.asof import asof_join
+
+    ev = events_table(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        right_cols=["event_id", "value"],
+        prefix="signup_",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "signup_event_id",
+        F.round("signup_value", 2).alias("signup_value"),
+    )
+
+
+JOIN_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       s.event_id AS signup_event_id,
+       round(s.value, 2) AS signup_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'signup') s
+ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / language-ID / quality (operators.text)
+# ---------------------------------------------------------------------------
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (operators.text.lang_id)."""
+    from ..operators.text import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def _lang_hits_sql(lang_words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lang_words)
+    return (
+        "len(list_intersect(list_distinct("
+        "string_split_regex(lower(trim(text)), '\\s+')), [" + arr + "]))"
+    )
+
+
+def _text_lang_id_sql() -> str:
+    from ..operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)  # tie-break order must match lang_id()
+    hits = {lang: _lang_hits_sql(STOPWORDS[lang]) for lang in langs}
+    best = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN {hits[lang]} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS lang_guess
+FROM (SELECT doc_id, text, {best} AS best FROM documents)
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality score (operators.text.quality_score)."""
+    from ..operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       {sql_ieee_round(
+           "0.4 * least(n_tok / 200.0, 1.0) "
+           "+ 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) "
+           "+ 0.3 * (CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END)",
+           4,
+       )} AS quality
+FROM (
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_uniq,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+    FROM documents
+)
+"""
+
+
+def text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (operators.text.bpe_ish_token_count)."""
+    from ..operators.text import bpe_ish_token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+TEXT_BPE_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup (operators.dedup) — md5-blocked variants are oracle-paired;
+# the xxhash64 MinHash/SimHash paths are Spark-only (rows-only check).
+# ---------------------------------------------------------------------------
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, min-md5-shingle blocking (the k=1
+    MinHash blocking key, expressible in both engines)."""
+    docs = t(spark, sf_dir, "documents")
+    from ..operators.dedup import word_shingles
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    ).withColumn("block", F.array_min(F.transform(F.col("sh"), F.md5)))
+    a = sh.select("block", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select("block", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            ieee_round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .distinct()
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS (
+    SELECT doc_id AS id, shingles,
+           list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS block
+    FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+    )
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       {sql_ieee_round(
+           "len(list_intersect(a.shingles, b.shingles)) * 1.0 / "
+           "greatest(len(a.shingles) + len(b.shingles) "
+           "- len(list_intersect(a.shingles, b.shingles)), 1)",
+           4,
+       )} AS jaccard
+FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+WHERE {sql_ieee_round(
+           "len(list_intersect(a.shingles, b.shingles)) * 1.0 / "
+           "greatest(len(a.shingles) + len(b.shingles) "
+           "- len(list_intersect(a.shingles, b.shingles)), 1)",
+           4,
+       )} >= 0.2
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup pairs (operators.dedup.minhash_lsh_pairs).
+    xxhash64-based → no DuckDB twin; driver records a rows-only check, and
+    tests/test_dedup.py verifies recall against exact Jaccard."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.3).orderBy("id_a", "id_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming near-dup candidates (operators.dedup.simhash_pairs).
+    xxhash64-based → rows-only check + unit tests."""
+    from ..operators.dedup import simhash_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs blocked on label
+    (operators.dedup.embedding_dup_pairs)."""
+    from ..operators.dedup import embedding_dup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.9)
+
+
+_COS_SQL = (
+    "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), "
+    "(x, y) -> x + y) / greatest("
+    "sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)), 1e-12)"
+)
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {sql_ieee_round(_COS_SQL, 6)} AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_ieee_round(_COS_SQL, 6)} >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (operators.similarity)
+# ---------------------------------------------------------------------------
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for probe queries (vec_id < 5)."""
+    from ..operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           {sql_ieee_round(_COS_SQL, 6)} AS cos
+    FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+FROM (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+           ) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (operators.similarity.lsh_topk).
+    xxhash64 hyperplanes → rows-only check; recall measured in tests."""
+    from ..operators.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=4, probes=5)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -773,7 +1094,20 @@ CATALOG: dict[str, Entry] = {
     "text_token_stats": Entry(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "doc_fingerprint": Entry(doc_fingerprint, DOC_FINGERPRINT_SQL),
     "dedup_exact": Entry(dedup_exact, DEDUP_EXACT_SQL),
+    "text_lang_id": Entry(text_lang_id, None),  # sql built lazily below
+    "text_quality": Entry(text_quality, TEXT_QUALITY_SQL),
+    "text_bpe_count": Entry(text_bpe_count, TEXT_BPE_COUNT_SQL),
+    "dedup_jaccard_pairs": Entry(dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": Entry(dedup_minhash_lsh, None),
+    "dedup_simhash": Entry(dedup_simhash, None),
+    "dedup_embedding_cosine": Entry(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "similarity_topk": Entry(similarity_topk, SIMILARITY_TOPK_SQL),
+    "similarity_lsh_topk": Entry(similarity_lsh_topk, None),
+    "events_sessionize": Entry(events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "agg_rollup": Entry(agg_rollup, AGG_ROLLUP_SQL),
+    "join_asof_events": Entry(join_asof_events, JOIN_ASOF_SQL),
 }
+CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,114 @@
+"""Unit tests: dedup families + similarity search on constructed corpora
+with known duplicates, and recall checks of approximate vs exact methods."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_capstone_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    embedding_dup_pairs,
+)
+from data_engineering_project_capstone_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the tall fence and the birds sing in the morning light over "
+    "the quiet village near the river bend"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE + " extra trailing words here"),  # near-dup of 1
+        (4, BASE.replace("quick", "slow").replace("lazy", "busy")),  # near-dup
+        (5, "completely different text about spark catalyst optimizer "
+            "plans shuffles partitions and adaptive execution engines "
+            "running distributed queries on large clusters every day"),
+        (6, "another unrelated document mentioning parquet files columnar "
+            "storage compression encodings and predicate pushdown scans "
+            "across petabyte data lakes with schema evolution"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 2 not in ids  # duplicate of 1 dropped
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert all(not (a in (5, 6) or b == 5) for a, b in pairs if (a, b) != (5, 6))
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    # unrelated docs never pair with the BASE cluster
+    assert not any({a, b} & {5, 6} and {a, b} & {1, 2, 3} for a, b in pairs)
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=20).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text → identical signature
+    assert (1, 3) in pairs  # near-dup → small hamming
+    assert pairs[(1, 3)] <= 20
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.001, 0.0], 0),   # near-identical to 1
+        (3, [0.0, 1.0, 0.0], 0),     # orthogonal
+        (4, [1.0, 0.0, 0.0], 1),     # same dir as 1, different block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # blocked apart — documented recall trade
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(embeddings, queries, k=1).collect()
+    approx = lsh_topk(embeddings, queries, k=1, bits=4, probes=5).collect()
+    exact_best = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx_best = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in exact_best.items() if approx_best.get(q) == n)
+    # 4-bit LSH on 64-dim data: expect well above random but below exact
+    assert hits / len(exact_best) >= 0.3, f"LSH top-1 recall {hits}/{len(exact_best)}"
+    # every query got some answer
+    assert set(approx_best) == set(exact_best)
+
+
+def test_cosine_topk_deterministic(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0)
+    a = cosine_topk(embeddings, q, k=5).collect()
+    b = cosine_topk(embeddings, q, k=5).collect()
+    assert [r["neighbor_id"] for r in a] == [r["neighbor_id"] for r in b]
+    cs = [r["cos"] for r in a]
+    assert cs == sorted(cs, reverse=True)

@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the plans must keep the shapes that
+survive a 100 TB scale-up — broadcast joins for dims, pushed-down filters,
+whole-stage codegen, no global single-partition windows on fact paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = CATALOG[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan_of(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = CATALOG[name].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def final_plan_of(spark, name: str) -> str:
+    """Execute (small SF) so AQE finalizes, then read the physical plan."""
+    df = CATALOG[name].spark_fn(spark, SF)
+    df.collect()  # count() would build a different plan; collect finalizes this one
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_joins_broadcast(spark):
+    for name in ["q1_avg_price_by_nation", "q2_count_by_nation_region",
+                 "q3_pct_of_total", "join_multiway_revenue"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: no SMJ on dim joins"
+
+
+def test_filters_pushed_to_scan(spark):
+    plan = formatted_plan_of(spark, "proj_filter")
+    # the quantity predicate must reach the parquet reader
+    assert "GreaterThan(l_quantity,30.0)" in plan.replace(" ", "")
+
+
+def test_column_pruning(spark):
+    plan = formatted_plan_of(spark, "proj_filter")
+    # ReadSchema must request only the projected/filter columns, not all 11
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in rs and "l_tax" not in rs
+
+
+def test_codegen_present(spark):
+    # AQE only materializes codegen stages once executed; whole-stage
+    # codegen renders as '*(n)' operator prefixes in Spark 4 tree strings
+    plan = final_plan_of(spark, "agg_stats_summary")
+    assert "*(1)" in plan, "no whole-stage-codegen spans in the final plan"
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_hash_aggregate_partial_final(spark):
+    plan = plan_of(spark, "agg_stats_summary")
+    # partial+final hash aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_global_window_in_fact_paths(spark):
+    # per-key windows are fine; a Window with an empty partition spec on a
+    # fact-sized input funnels everything through one task
+    for name in ["topk_per_group", "dedup_first_wins", "events_sessionize"]:
+        plan = plan_of(spark, name)
+        assert "Window" in plan
+        # global-window marker: 'Window [...]' with no 'partitionBy' spec is
+        # hard to grep; assert the partition columns appear in the spec
+        assert "SinglePartition" not in plan.split("Window")[0], name

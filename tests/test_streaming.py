@@ -1,0 +1,102 @@
+"""Structured Streaming surface: the streaming queries must complete via
+the memory sink and agree with their batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_capstone_spark.plans.catalog import events_table
+from data_engineering_project_capstone_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sessionize_batch,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return events_table(spark, sf_dir).cache()
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        tumbling_counts(stream), "tumbling_out", output_mode="append"
+    ).collect()
+    # batch twin: group on the same 1h windows
+    expect = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["event_type"])
+    got_m = {key(r): (r["n_events"], r["sum_value"]) for r in got}
+    exp_m = {key(r): (r["n_events"], r["sum_value"]) for r in expect}
+    # append mode with watermark may hold back the last (incomplete) windows;
+    # every emitted window must match the batch result exactly
+    assert got_m, "stream emitted nothing"
+    for k, v in got_m.items():
+        assert exp_m[k] == v
+    assert len(got_m) >= len(exp_m) - 3
+
+
+def test_sliding_counts_runs(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        sliding_counts(stream), "sliding_out", output_mode="append"
+    ).collect()
+    assert got
+    # 1h window / 15min slide → every event lands in 4 windows
+    n = sum(r["n_events"] for r in got)
+    assert n > 0
+
+
+def test_session_window_stream_vs_batch(spark, sf_dir, batch_events):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        session_window_agg(stream), "session_out", output_mode="append"
+    ).collect()
+    assert got, "no sessions emitted"
+    batch = sessionize_batch(batch_events).collect()
+    got_m = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in got
+    }
+    exp_m = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in batch
+    }
+    for k, v in got_m.items():
+        assert exp_m.get(k) == v, f"session {k}: stream {v} != batch {exp_m.get(k)}"
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 100, 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 100, 2.0),   # same session
+        (3, t0 + dt.timedelta(minutes=50), 100, 3.0),   # gap 40min → new
+        (4, t0, 200, 4.0),                               # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = sessionize_batch(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[100]) == 2
+    s1, s2 = sorted(by_user[100], key=lambda r: r["session_seq"])
+    assert s1["n_events"] == 2 and s2["n_events"] == 1
+    assert len(by_user[200]) == 1
