@@ -838,6 +838,196 @@ ON p.user_id = s.user_id AND p.ts >= s.ts
 
 
 # ---------------------------------------------------------------------------
+# Extended SQL surface: cube, unpivot, percentiles, running windows,
+# range join, merge/SCD2 emulation
+# ---------------------------------------------------------------------------
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide numeric columns to long (metric, value) rows — the
+    inverse of the capstone's race pivot (A3)."""
+    part = t(spark, sf_dir, "part")
+    return part.unpivot(
+        "p_partkey",
+        ["p_size", "p_retailprice"],
+        "metric",
+        "value",
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice FROM part
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines implement
+    linear interpolation: Spark percentile / DuckDB quantile_cont)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS cnt
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total ordered by date (cumulative window
+    aggregate — per-key sort, no global ordering)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).cast("long").alias("order_seq"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems shipped within 30 days after their order date.
+
+    Spark has no native range join — a naive inequality join becomes a
+    broadcast-nested-loop. Scale strategy: equi-join on the natural key
+    carries the range predicate as a post-join filter, so Catalyst keeps a
+    hash join and the range check is free. (For keyless pure-range joins,
+    bucketize the range key and explode to neighbor buckets.)
+    """
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            )
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+"""
+
+
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/SCD2 emulation without Delta: upsert a batch of 'updates'
+    (every P-status order at 10% higher price) into the orders snapshot via
+    anti-join + union — the stock-Spark CDC pattern (guide: 'MERGE INTO
+    needs Delta; emulate with anti-join + union').
+    """
+    orders = t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        ieee_round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    current = orders.select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("version")
+    )
+    kept = current.join(updates, "o_orderkey", "left_anti")
+    return kept.unionByName(updates)
+
+
+MERGE_SCD2_SQL = f"""
+WITH updates AS (
+    SELECT o_orderkey,
+           {sql_ieee_round("o_totalprice * 1.1")} AS o_totalprice,
+           2 AS version
+    FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT o_orderkey, o_totalprice, 1 AS version
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+UNION ALL
+SELECT * FROM updates
+"""
+
+
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct counts. The approx column is Spark
+    HLL++ — engines differ, so only the exact columns are oracle-compared
+    and the approx is asserted within ±5% in unit tests."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("cnt"),
+    ).orderBy("l_returnflag")
+
+
+AGG_DISTINCT_COUNT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis / language-ID / quality (operators.text)
 # ---------------------------------------------------------------------------
 
@@ -1106,6 +1296,13 @@ CATALOG: dict[str, Entry] = {
     "events_sessionize": Entry(events_sessionize, EVENTS_SESSIONIZE_SQL),
     "agg_rollup": Entry(agg_rollup, AGG_ROLLUP_SQL),
     "join_asof_events": Entry(join_asof_events, JOIN_ASOF_SQL),
+    "agg_cube": Entry(agg_cube, AGG_CUBE_SQL),
+    "unpivot_part": Entry(unpivot_part, UNPIVOT_SQL),
+    "agg_percentiles": Entry(agg_percentiles, AGG_PERCENTILES_SQL),
+    "window_running_sum": Entry(window_running_sum, WINDOW_RUNNING_SQL),
+    "join_range_bucketed": Entry(join_range_bucketed, JOIN_RANGE_SQL),
+    "merge_scd2": Entry(merge_scd2, MERGE_SCD2_SQL),
+    "agg_distinct_count": Entry(agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 
