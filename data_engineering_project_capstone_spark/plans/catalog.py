@@ -1004,6 +1004,25 @@ SELECT * FROM updates
 """
 
 
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact distinct/
+    percentile (HLL++ and KLL-ish sketches, constant memory per group).
+    Sketch implementations differ across engines → rows-only check here;
+    tests/test_approx.py bounds the error against the exact values."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias(
+                "approx_median_price"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + approximate distinct counts. The approx column is Spark
     HLL++ — engines differ, so only the exact columns are oracle-compared
@@ -1303,6 +1322,7 @@ CATALOG: dict[str, Entry] = {
     "join_range_bucketed": Entry(join_range_bucketed, JOIN_RANGE_SQL),
     "merge_scd2": Entry(merge_scd2, MERGE_SCD2_SQL),
     "agg_distinct_count": Entry(agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
+    "agg_approx": Entry(agg_approx, None),  # sketch impls differ per engine
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 

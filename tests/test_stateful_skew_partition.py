@@ -1,0 +1,77 @@
+"""Stateful streaming operator, salted join equivalence, and
+partition-pruned writes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_capstone_spark.operators.skew import salted_join
+from data_engineering_project_capstone_spark.streaming.events import (
+    read_events_stream,
+)
+from data_engineering_project_capstone_spark.streaming.stateful import (
+    anomaly_monitor,
+    anomaly_monitor_batch,
+)
+from data_engineering_project_capstone_spark.plans.catalog import events_table
+
+
+def test_stateful_anomaly_monitor_stream_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        anomaly_monitor(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("anomaly_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode: take the LAST emitted row per user
+    got_rows = spark.sql(
+        "SELECT * FROM anomaly_out"
+    ).toPandas().groupby("user_id").last()
+    batch = anomaly_monitor_batch(events_table(spark, sf_dir)).set_index("user_id")
+    assert len(got_rows) == len(batch)
+    for uid in batch.index:
+        g, b = got_rows.loc[uid], batch.loc[uid]
+        assert g["n_events"] == b["n_events"], uid
+        assert g["n_anomalies"] == b["n_anomalies"], uid
+        assert abs(g["running_mean"] - b["running_mean"]) < 1e-9, uid
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", n_salts=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """The 100 TB fact layout: partition by a date column; a filtered scan
+    must read only matching partitions (PartitionFilters in the plan)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+
+    scan = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # count only 1995 rows and confirm against unpartitioned filter
+    expect = orders.filter(F.year("o_orderdate") == 1995).count()
+    assert scan.count() == expect
+    import glob
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("o_year=")]
+    assert len(dirs) > 1, "expected one directory per year partition"
