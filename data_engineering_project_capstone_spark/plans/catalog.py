@@ -33,7 +33,17 @@ from pyspark.sql import functions as F
 from ..functions.scalar import ieee_round
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """The driver passes its own SparkSession — pin the two confs results
+    depend on, regardless of how that session was built: UTC timestamps
+    (oracle comparability) and nanos-as-long parquet reads (events.ts is
+    TIMESTAMP(NANOS), which Spark otherwise refuses)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -351,18 +361,23 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders."""
+    """Left-anti join: customers with no high-value order (every customer
+    has *some* order in this data, so the filter keeps the result
+    non-trivial at every scale factor)."""
     customer = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    big_orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return customer.join(
-        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+        big_orders, customer["c_custkey"] == big_orders["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
 
 
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
 """
 
 
@@ -1209,11 +1224,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs blocked on label
-    (operators.dedup.embedding_dup_pairs)."""
+    (operators.dedup.embedding_dup_pairs). Threshold 0.3: the synthetic
+    embeddings top out at cosine ~0.47, so the production default (0.95)
+    would select nothing — the low threshold keeps the check non-trivial."""
     from ..operators.dedup import embedding_dup_pairs
 
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.9)
+    return embedding_dup_pairs(emb, threshold=0.3)
 
 
 _COS_SQL = (
@@ -1228,7 +1245,7 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {sql_ieee_round(_COS_SQL, 6)} AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {sql_ieee_round(_COS_SQL, 6)} >= 0.9
+WHERE {sql_ieee_round(_COS_SQL, 6)} >= 0.3
 """
 
 

@@ -23,6 +23,51 @@ from pyspark.sql import functions as F
 from ..functions.scalar import pct_of
 
 
+# spark.sql() forms of the same three queries, runnable after
+# pipeline.register_star_views — semantically identical to the DF plans
+# (tests assert result equality). Note Spark SQL and the DF API compile to
+# the same Catalyst trees; both forms exist because the reference's users
+# query in SQL (README.md:169-214).
+FLAGSHIP_SQL: dict[str, str] = {
+    "q1": """
+        SELECT c.c_name, s.s_median_age, a.avg_age
+        FROM (
+            SELECT ap.a_city_id, round(avg(t.p_age), 2) AS avg_age
+            FROM travelers t JOIN airports ap ON t.p_airport_id = ap.a_id
+            GROUP BY ap.a_city_id
+        ) a
+        JOIN city c ON a.a_city_id = c.c_id
+        JOIN statistics s ON s.s_city_id = c.c_id
+        ORDER BY s.s_median_age DESC
+    """,
+    "q2": """
+        SELECT c.c_name, cnt.cnt, s.s_per_foreign_born
+        FROM (
+            SELECT ap.a_city_id, count(*) AS cnt
+            FROM travelers t JOIN airports ap ON t.p_airport_id = ap.a_id
+            GROUP BY ap.a_city_id
+        ) cnt
+        JOIN city c ON cnt.a_city_id = c.c_id
+        JOIN statistics s ON s.s_city_id = c.c_id
+        ORDER BY s.s_per_foreign_born DESC
+    """,
+    "q3": """
+        SELECT c.c_name, tp.t_avg_temp, cnt.cnt,
+               round(100 * cnt.cnt / tot.total, 2) AS pct_of_total
+        FROM (
+            SELECT ap.a_city_id, count(*) AS cnt
+            FROM travelers t JOIN airports ap ON t.p_airport_id = ap.a_id
+            GROUP BY ap.a_city_id
+        ) cnt
+        JOIN city c ON cnt.a_city_id = c.c_id
+        JOIN temperatures tp ON tp.t_city_id = c.c_id
+             AND tp.t_year = 2013 AND tp.t_month = 4
+        CROSS JOIN (SELECT count(*) AS total FROM travelers) tot
+        ORDER BY pct_of_total DESC
+    """,
+}
+
+
 def flagship_q1(star: dict[str, DataFrame]) -> DataFrame:
     """Avg traveler age per city vs city median age (README.md:172-179).
 

@@ -47,6 +47,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from ..plans.catalog import _ensure_session_conf
+
+    _ensure_session_conf(spark)
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
     raw = (
