@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the operators with the subtlest
+semantics: cross-engine rounding, as-of joins, sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_engineering_project_capstone_spark.streaming.events import sessionize_batch
+
+SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_ieee_round_matches_duckdb(spark, xs):
+    """ieee_round must be bit-identical between Spark and DuckDB for any
+    input double — the foundation of the oracle gate's float policy."""
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], ["i", "x"])
+    from data_engineering_project_capstone_spark.functions.scalar import ieee_round
+
+    got = {
+        r["i"]: r["y"]
+        for r in sdf.select("i", ieee_round("x", 2).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    expect = {
+        i: con.execute(
+            "SELECT floor((CAST(? AS DOUBLE) * 100.0) + 0.5) / 100.0", [x]
+        ).fetchone()[0]
+        for i, x in enumerate(xs)
+    }
+    assert got == expect
+
+
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+    right_ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_merge_asof(spark, left_ts, right_ts):
+    """asof_join must agree with pandas.merge_asof (backward direction)
+    on a single key with unique right timestamps."""
+    from data_engineering_project_capstone_spark.operators.asof import asof_join
+
+    right_ts = sorted(set(right_ts))
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, 1, base + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(left_ts))
+    ]
+    rrows = [
+        (100 + j, 1, base + dt.timedelta(seconds=s), float(s))
+        for j, s in enumerate(right_ts)
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "ts", "payload"])
+    got = (
+        asof_join(left, right, on=["k"], right_cols=["rid", "payload"])
+        .orderBy("lid")
+        .collect()
+    )
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts", "payload"]).sort_values("ts")
+    expect = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    expect = expect.sort_values("lid")
+    for g, (_, e) in zip(got, expect.iterrows()):
+        assert g["lid"] == e["lid"]
+        if pd.isna(e["rid"]):
+            assert g["asof_rid"] is None
+        else:
+            assert g["asof_rid"] == e["rid"], (g, e)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_sessionize_invariants(spark, gaps):
+    """Sessions partition the events; boundaries exactly at gap>30min."""
+    base = dt.datetime(2024, 1, 1)
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(base + dt.timedelta(seconds=acc))
+    rows = [(i, t, 1, 1.0) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    sessions = sessionize_batch(df, gap_minutes=30).collect()
+    # invariant 1: session event counts partition all events
+    assert sum(r["n_events"] for r in sessions) == len(rows)
+    # invariant 2: number of sessions == 1 + #gaps > 30min (first event
+    # opens a session; the generated inter-arrival gaps are exactly `gaps`
+    # after the first event)
+    n_breaks = sum(1 for g in gaps[1:] if g > 1800)
+    assert len(sessions) == 1 + n_breaks
+    # invariant 3: sessions don't overlap per user
+    spans = sorted((r["session_start"], r["session_end"]) for r in sessions)
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert e1 < s2
