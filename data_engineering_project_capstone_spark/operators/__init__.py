@@ -1,6 +1,7 @@
 from .airports import prep_airports
 from .asof import asof_join
 from .cities import prep_cities
+from .clusters import connected_components, dedup_by_components
 from .dedup import (
     exact_dedup,
     embedding_dup_pairs,
@@ -11,7 +12,7 @@ from .dedup import (
     simhash_signatures,
 )
 from .keys import hash_key, surrogate_key
-from .similarity import cosine_topk, lsh_topk
+from .similarity import cosine_topk, ivf_topk, lsh_topk
 from .skew import salted_join
 from .star import build_star_schema
 from .temperatures import prep_temperatures
@@ -20,7 +21,10 @@ from .travelers import prep_travelers
 __all__ = [
     "asof_join",
     "build_star_schema",
+    "connected_components",
     "cosine_topk",
+    "dedup_by_components",
+    "ivf_topk",
     "embedding_dup_pairs",
     "exact_dedup",
     "hash_key",

@@ -88,6 +88,80 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
     return key
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: k-means coarse quantizer (stock
+    pyspark.ml KMeans), corpus assigned to its nearest cell, queries probe
+    the ``n_probe`` nearest cells and scan only those inverted lists.
+
+    Same output shape as :func:`cosine_topk`. At scale the cell assignment
+    is a write-side partition key (one column), so a query touches
+    ``n_probe/n_cells`` of the corpus. Centroids train once on a sample.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=10)
+    model = km.fit(c.select("features"))
+    c = model.transform(c).withColumnRenamed("prediction", "cell")
+
+    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        # squared L2 to a literal centroid, sequential fold
+        ctr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, ctr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("qd", F.transform(F.col("q_vec"), lambda x: x.cast("double")))
+    cell_dists = F.array(
+        *[
+            F.struct(_dist2(F.col("qd"), ctr).alias("d"), F.lit(i).alias("cell"))
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    q = (
+        q.withColumn("probe", F.slice(F.array_sort(cell_dists), 1, n_probe))
+        .select(
+            "query_id", "q_vec", F.explode(F.col("probe.cell")).alias("cell")
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ieee_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1280,6 +1280,37 @@ FROM (
 """
 
 
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-3 (operators.similarity.ivf_topk): k-means
+    coarse quantizer + probed inverted lists. KMeans training is not
+    bit-deterministic across environments → rows-only check; recall vs the
+    exact baseline is asserted in tests."""
+    from ..operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH pairs → connected
+    components → surviving doc ids (operators.clusters). Iterative
+    dataflow → rows-only check; components verified against union-find in
+    tests."""
+    from ..operators.clusters import dedup_by_components
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    # near-dup graphs are shallow: 4 fixed propagation rounds, no
+    # convergence actions (see connected_components docstring)
+    return dedup_by_components(
+        docs.select("doc_id", "lang", "source"),
+        pairs,
+        max_iterations=4,
+        check_convergence=False,
+    )
+
+
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (operators.similarity.lsh_topk).
     xxhash64 hyperplanes → rows-only check; recall measured in tests."""
@@ -1340,6 +1371,8 @@ CATALOG: dict[str, Entry] = {
     "merge_scd2": Entry(merge_scd2, MERGE_SCD2_SQL),
     "agg_distinct_count": Entry(agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
     "agg_approx": Entry(agg_approx, None),  # sketch impls differ per engine
+    "similarity_ivf_topk": Entry(similarity_ivf_topk, None),  # k-means nondet.
+    "dedup_resolve_clusters": Entry(dedup_resolve_clusters, None),  # iterative
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 

@@ -1,0 +1,71 @@
+"""Connected components vs a reference union-find, and end-to-end dedup."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_capstone_spark.operators.clusters import (
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_components_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(40)
+        }
+    )
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    expect = _union_find(edges)
+    assert got == expect
+
+
+def test_chain_converges(spark):
+    # worst case for propagation: a long path graph
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = connected_components(df, max_iterations=40).collect()
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_dedup_by_components(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    kept = {r["doc_id"] for r in dedup_by_components(docs, pairs).collect()}
+    # components {1,2,3} -> keep 1; {5,6} -> keep 5; singletons stay
+    assert kept == {0, 1, 4, 5, 7}

@@ -105,6 +105,19 @@ def test_lsh_topk_recall(spark, embeddings):
     assert set(approx_best) == set(exact_best)
 
 
+def test_ivf_topk_recall(spark, embeddings):
+    from data_engineering_project_capstone_spark.operators.similarity import ivf_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(embeddings, queries, k=1).collect()
+    approx = ivf_topk(embeddings, queries, k=1, n_cells=8, n_probe=3).collect()
+    exact_best = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx_best = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in exact_best.items() if approx_best.get(q) == n)
+    assert hits / len(exact_best) >= 0.5, f"IVF top-1 recall {hits}/{len(exact_best)}"
+    assert set(approx_best) == set(exact_best)
+
+
 def test_cosine_topk_deterministic(spark, embeddings):
     q = embeddings.filter(F.col("vec_id") == 0)
     a = cosine_topk(embeddings, q, k=5).collect()

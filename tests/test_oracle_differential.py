@@ -16,7 +16,11 @@ import pytest
 
 from data_engineering_project_capstone_spark.plans.catalog import CATALOG
 
-SF_DIR = "/root/testdata/sf0.001"
+# default to the driver's correctness SF; SPARK_GRAFT_ORACLE_SF overrides
+# (sf0.001 for quick local iteration)
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
