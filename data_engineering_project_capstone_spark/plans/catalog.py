@@ -675,6 +675,28 @@ ORDER BY hour, event_type
 """
 
 
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: from_json into a typed struct (vs the
+    path-extraction in events_json) + regexp extraction on a string key."""
+    from pyspark.sql import types as T
+
+    ev = t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.select(
+        "event_id",
+        F.from_json("props", schema).getField("k").alias("k_typed"),
+        F.regexp_extract("event_type", "^([a-z]+)", 1).alias("type_word"),
+    )
+
+
+EVENTS_JSON_STRUCT_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+       regexp_extract(event_type, '^([a-z]+)', 1) AS type_word
+FROM events
+"""
+
+
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the props column."""
     ev = t(spark, sf_dir, "events")  # no ts needed; raw read is fine
@@ -1373,6 +1395,7 @@ CATALOG: dict[str, Entry] = {
     "agg_approx": Entry(agg_approx, None),  # sketch impls differ per engine
     "similarity_ivf_topk": Entry(similarity_ivf_topk, None),  # k-means nondet.
     "dedup_resolve_clusters": Entry(dedup_resolve_clusters, None),  # iterative
+    "events_json_struct": Entry(events_json_struct, EVENTS_JSON_STRUCT_SQL),
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 
