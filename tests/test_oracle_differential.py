@@ -55,8 +55,11 @@ def _norm(v):
 
 def _rowset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr: None/str/int mix in a column (e.g. ROLLUP totals) would
+    # make tuple comparison raise TypeError
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(repr(v) for v in t),
     )
 
 
