@@ -41,17 +41,23 @@ def coord_format(coord: Column | str, pos: str, neg: str, scale: int = 2) -> Col
 
 
 def pct_of(count: Column | str, total: Column | str, scale: int = 2) -> Column:
-    """``round(100 * count / total, scale)`` (reference README.md:200)."""
+    """``round(100 * count / total, scale)`` (reference README.md:200).
+
+    Null on zero denominator (``try_divide``): Spark 4's ANSI mode would
+    otherwise FAIL THE JOB on one zero-population row — the reference's
+    pandas division yields inf instead; null is the warehouse-sane choice.
+    """
     c = F.col(count) if isinstance(count, str) else count
     t = F.col(total) if isinstance(total, str) else total
-    return F.round(F.lit(100) * c / t, scale)
+    return F.round(F.try_divide(F.lit(100) * c, t), scale)
 
 
 def ratio_of(count: Column | str, total: Column | str, scale: int = 2) -> Column:
-    """``round(count / total, scale)`` (reference dataprep.py:32,37,57-66)."""
+    """``round(count / total, scale)`` (reference dataprep.py:32,37,57-66).
+    Null on zero denominator — see :func:`pct_of`."""
     c = F.col(count) if isinstance(count, str) else count
     t = F.col(total) if isinstance(total, str) else total
-    return F.round(c / t, scale)
+    return F.round(F.try_divide(c, t), scale)
 
 
 def round_cols(df: DataFrame, cols: Iterable[str], scale: int = 2) -> DataFrame:
