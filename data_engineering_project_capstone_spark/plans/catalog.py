@@ -1083,6 +1083,61 @@ ORDER BY l_returnflag
 """
 
 
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface beyond the reference's split/concat: case,
+    substring, padding, replacement, trim, length, position."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.lpad(F.col("p_brand"), 10, "_").alias("brand_padded"),
+        F.regexp_replace("p_name", "widget", "gadget").alias("name_replaced"),
+        F.length(F.trim(F.col("p_type"))).cast("long").alias("type_len"),
+        F.instr("p_name", "bolt").cast("long").alias("bolt_pos"),
+    )
+
+
+STRING_FUNCTIONS_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 4) AS name_prefix,
+       lpad(p_brand, 10, '_') AS brand_padded,
+       regexp_replace(p_name, 'widget', 'gadget', 'g') AS name_replaced,
+       CAST(length(trim(p_type)) AS BIGINT) AS type_len,
+       CAST(CASE WHEN position('bolt' IN p_name) IS NULL THEN 0
+                 ELSE position('bolt' IN p_name) END AS BIGINT) AS bolt_pos
+FROM part
+"""
+
+
+def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: split → explode → re-aggregate (token frequencies
+    across the corpus — the classic text-pipeline explode shape)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 100)
+        .orderBy(F.col("freq").desc(), "tok")
+    )
+
+
+ARRAY_EXPLODE_SQL = """
+SELECT tok, count(*) AS freq
+FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+)
+GROUP BY tok
+HAVING count(*) >= 100
+ORDER BY freq DESC, tok
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / language-ID / quality (operators.text)
 # ---------------------------------------------------------------------------
@@ -1396,6 +1451,8 @@ CATALOG: dict[str, Entry] = {
     "similarity_ivf_topk": Entry(similarity_ivf_topk, None),  # k-means nondet.
     "dedup_resolve_clusters": Entry(dedup_resolve_clusters, None),  # iterative
     "events_json_struct": Entry(events_json_struct, EVENTS_JSON_STRUCT_SQL),
+    "string_functions": Entry(string_functions, STRING_FUNCTIONS_SQL),
+    "array_explode_agg": Entry(array_explode_agg, ARRAY_EXPLODE_SQL),
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 
