@@ -16,6 +16,7 @@ from .similarity import cosine_topk, ivf_topk, lsh_topk
 from .skew import salted_join
 from .star import build_star_schema
 from .temperatures import prep_temperatures
+from .topk import topk_per_group_scalable
 from .travelers import prep_travelers
 
 __all__ = [
@@ -40,4 +41,5 @@ __all__ = [
     "simhash_pairs",
     "simhash_signatures",
     "surrogate_key",
+    "topk_per_group_scalable",
 ]

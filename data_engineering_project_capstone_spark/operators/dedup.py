@@ -54,17 +54,19 @@ def normalized_fingerprint(text: Column | str) -> Column:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row (min id) per distinct normalized content.
 
-    One hash shuffle on the fingerprint; at 100 TB this is the cheapest
-    possible dedup — map-side partial aggregation collapses most duplicate
-    mass before the shuffle.
+    ONE hash shuffle on the fingerprint: the surviving row travels as a
+    ``min_by`` struct through the aggregation, so there is no second
+    shuffle to join winners back (the naive groupBy + semi-join plan costs
+    two). Map-side partial aggregation collapses duplicate mass before the
+    exchange — at 100 TB that is the whole cost model.
     """
     fp = normalized_fingerprint(text_col)
-    keep = (
-        df.select(F.col(id_col), fp.alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(F.min(id_col).alias(id_col))
+    winner = (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row"))
     )
-    return df.join(keep, id_col, "left_semi")
+    return winner.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
 
 
 # --------------------------------------------------------------------------
