@@ -1083,6 +1083,62 @@ ORDER BY l_returnflag
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
+    priority, and grand total — but not the cross combination."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: per-customer order-over-order price delta and
+    the next order's date."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_price = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.coalesce(prev_price, F.lit(0.0)), 2).alias(
+            "price_delta"
+        ),
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - COALESCE(
+           lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 0.0), 2) AS price_delta,
+       lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS next_order_date
+FROM orders
+"""
+
+
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string surface beyond the reference's split/concat: case,
     substring, padding, replacement, trim, length, position."""
@@ -1453,6 +1509,8 @@ CATALOG: dict[str, Entry] = {
     "events_json_struct": Entry(events_json_struct, EVENTS_JSON_STRUCT_SQL),
     "string_functions": Entry(string_functions, STRING_FUNCTIONS_SQL),
     "array_explode_agg": Entry(array_explode_agg, ARRAY_EXPLODE_SQL),
+    "agg_grouping_sets": Entry(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "window_lag_lead": Entry(window_lag_lead, WINDOW_LAG_LEAD_SQL),
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 
