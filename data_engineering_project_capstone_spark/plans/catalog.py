@@ -1454,6 +1454,43 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (no media table in the driver testdata → deterministic fixture
+# built in-memory; rows-only checks, full pytest coverage in
+# tests/test_multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns through the mapInPandas decode stage
+    (operators.multimodal; stub codec, real schema/batch plumbing)."""
+    from ..operators.multimodal import decode_media, media_fixture
+
+    _ensure_session_conf(spark)
+    return decode_media(media_fixture(spark)).orderBy("media_id")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → deterministic feature vectors (mapInPandas featurizer);
+    vectors reduced to scalars so the rows-only check sees stable values."""
+    from ..operators.multimodal import extract_features, media_fixture
+
+    _ensure_session_conf(spark)
+    feats = extract_features(media_fixture(spark))
+    return feats.select(
+        "media_id",
+        F.size("feature").cast("long").alias("dim"),
+        ieee_round(
+            F.aggregate(
+                F.transform("feature", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("feature_sum"),
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1511,6 +1548,8 @@ CATALOG: dict[str, Entry] = {
     "array_explode_agg": Entry(array_explode_agg, ARRAY_EXPLODE_SQL),
     "agg_grouping_sets": Entry(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "window_lag_lead": Entry(window_lag_lead, WINDOW_LAG_LEAD_SQL),
+    "multimodal_decode": Entry(multimodal_decode, None),  # no media oracle table
+    "multimodal_features": Entry(multimodal_features, None),
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
 
