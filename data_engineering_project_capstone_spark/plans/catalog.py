@@ -1491,6 +1491,304 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL-surface breadth: subqueries, HAVING, INTERSECT, window variety,
+# date/regexp scalar functions, statistical + conditional aggregates.
+# These round out the declarative surface a warehouse user expects beyond
+# the reference's literal operator list (SURVEY.md §2.6/§2.7 "not present"
+# rows, made present). Scale notes inline per entry.
+# ---------------------------------------------------------------------------
+
+
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above the global average, counted per
+    status. Spark form: 1-row aggregate cross-joined (broadcast — a 1-row
+    build side, free at any scale; no per-row recompute). Threshold floored
+    to an integer so a last-ulp avg difference between engines can't flip
+    rows at the boundary."""
+    orders = t(spark, sf_dir, "orders")
+    thresh = orders.agg(F.floor(F.avg("o_totalprice")).alias("_thresh"))
+    return (
+        orders.crossJoin(F.broadcast(thresh))
+        .filter(F.col("o_totalprice") > F.col("_thresh"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_above"))
+        .orderBy("o_orderstatus")
+    )
+
+
+SUBQUERY_SCALAR_SQL = """
+SELECT o_orderstatus, count(*) AS n_above
+FROM orders
+WHERE o_totalprice > (SELECT floor(avg(o_totalprice)) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (customers richer than their nation's average),
+    decorrelated the way Catalyst/DuckDB both do it: per-group aggregate +
+    equi-join. The nation-level aggregate is 25 rows → broadcast; the only
+    shuffle is the final small groupBy. Floored threshold for float safety."""
+    customer = t(spark, sf_dir, "customer")
+    nation_avg = customer.groupBy("c_nationkey").agg(
+        F.floor(F.avg("c_acctbal")).alias("_avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_rich"))
+        .orderBy("c_nationkey")
+    )
+
+
+SUBQUERY_CORRELATED_SQL = """
+SELECT c_nationkey, count(*) AS n_rich
+FROM customer c
+WHERE c_acctbal > (
+    SELECT floor(avg(c2.c_acctbal)) FROM customer c2
+    WHERE c2.c_nationkey = c.c_nationkey
+)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING: customers with ≥5 orders. One hash-agg shuffle on
+    o_custkey; HAVING is a post-aggregate filter (Catalyst pushes nothing —
+    it can't — but the aggregate is partial/final so the shuffle carries
+    only (custkey, partial count))."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+        .orderBy("o_custkey")
+    )
+
+
+AGG_HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 5
+ORDER BY o_custkey
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers with both a fulfilled and
+    an open order. Spark `intersect` plans as a left-semi join over two
+    distincts — both sides shuffle on the same key, no extra exchange."""
+    orders = t(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.intersect(o_cust).orderBy("o_custkey")
+
+
+SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+
+def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window variety: ntile/percent_rank/cume_dist over account
+    balance within nation. Unique (acctbal, custkey) ordering makes every
+    rank deterministic. One shuffle on c_nationkey; 25 balanced partitions —
+    at 100 TB the per-nation partition is what AQE would split, but ranking
+    windows need whole-partition order, so the honest scale path for a
+    skewed partition key is the two-phase top-k in operators/topk.py."""
+    customer = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        ieee_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ieee_round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+WINDOW_NTILE_SQL = f"""
+SELECT c_nationkey, c_custkey,
+       CAST(ntile(4)      OVER w AS BIGINT) AS quartile,
+       {sql_ieee_round("percent_rank() OVER w", 6)} AS pct_rank,
+       {sql_ieee_round("cume_dist()    OVER w", 6)} AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, c_custkey
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame: 4-order moving average of totalprice per customer
+    in (date, key) order. Per-row ieee_round(…,2) before the frame sum keeps
+    the true sum on the 2dp grid; a ≤4-term sum has no reassociation risk, so
+    round(…,4) is tie-safe. Shuffles once on o_custkey."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg(ieee_round(F.col("o_totalprice"), 2)).over(w), 4).alias(
+            "moving_avg"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_MOVING_AVG_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       round(avg({sql_ieee_round("o_totalprice")}) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ), 4) AS moving_avg
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar surface: datediff from an epoch, month truncation,
+    quarter extraction. Pure narrow projection — pushes the column prune to
+    the parquet scan, zero shuffles (the orderBy exists only for the
+    deterministic sample)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_95"),
+            # DATE on both sides: DuckDB's month-precision date_trunc returns
+            # DATE while Spark's returns TIMESTAMP
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+                "month_start"
+            ),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_ARITHMETIC_SQL = """
+SELECT o_orderkey,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp + edit-distance scalar surface on part. Narrow projection;
+    regexp runs JVM-side inside codegen (no Python). DuckDB regexp_replace
+    needs the 'g' flag to match Spark's replace-all semantics."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_type"), r"[aeiou]", "").alias("type_novowels"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#00"))
+        .cast("long")
+        .alias("brand_dist"),
+    ).orderBy("p_partkey")
+
+
+STRING_REGEXP_SQL = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowels,
+       CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS brand_dist
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per returnflag. Rounding scales are chosen per
+    magnitude so cross-engine co-moment merge-order noise (~1e-9 relative)
+    stays far inside the tie margin: stddev/var/corr at 6dp (values ≤ ~2e2),
+    covar at 0dp (values ~1e4). Single partial+final hash-agg shuffle on a
+    3-value key."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 0).alias(
+                "qty_price_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATS_FUNCS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+       round(var_samp(l_quantity), 6) AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 0) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count/sum over CASE): fulfilled-order count
+    and open-order revenue per priority. Per-row ieee_round before the sum =
+    the revenue parity pattern (true sum sits on the 2dp grid, final round
+    is tie-safe). One shuffle on a 5-value key; partial aggregation does the
+    heavy lifting map-side."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fulfilled"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "O",
+                        ieee_round(F.col("o_totalprice"), 2),
+                    ).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("open_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_CONDITIONAL_SQL = f"""
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+       round(sum(CASE WHEN o_orderstatus = 'O'
+                      THEN {sql_ieee_round("o_totalprice")}
+                      ELSE 0.0 END), 2) AS open_revenue
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1552,6 +1850,22 @@ CATALOG: dict[str, Entry] = {
     "multimodal_features": Entry(multimodal_features, None),
 }
 CATALOG["text_lang_id"] = Entry(text_lang_id, _text_lang_id_sql())
+CATALOG.update(
+    {
+        "subquery_scalar_avg": Entry(subquery_scalar_avg, SUBQUERY_SCALAR_SQL),
+        "subquery_correlated_avg": Entry(
+            subquery_correlated_avg, SUBQUERY_CORRELATED_SQL
+        ),
+        "agg_having": Entry(agg_having, AGG_HAVING_SQL),
+        "set_intersect": Entry(set_intersect, SET_INTERSECT_SQL),
+        "window_ntile_pctrank": Entry(window_ntile_pctrank, WINDOW_NTILE_SQL),
+        "window_moving_avg": Entry(window_moving_avg, WINDOW_MOVING_AVG_SQL),
+        "date_arithmetic": Entry(date_arithmetic, DATE_ARITHMETIC_SQL),
+        "string_regexp": Entry(string_regexp, STRING_REGEXP_SQL),
+        "agg_stats_funcs": Entry(agg_stats_funcs, AGG_STATS_FUNCS_SQL),
+        "agg_conditional": Entry(agg_conditional, AGG_CONDITIONAL_SQL),
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
