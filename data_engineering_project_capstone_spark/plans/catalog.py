@@ -1788,6 +1788,142 @@ ORDER BY o_orderpriority
 """
 
 
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment — the reproducibility
+    primitive of a training-data pipeline. Bucket = first 60 bits of
+    md5(content) mod 100, so the assignment is content-addressed: stable
+    across reruns, cluster sizes, and row order (unlike rand() or
+    monotonically_increasing_id). Map-only narrow plan; the tiny groupBy
+    is the only shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) % 100
+               AS bucket,
+           n_chars
+    FROM documents
+)
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (nulls / distincts / min / max per column) — the
+    data-quality sweep run before any training job. One wide aggregate row
+    computed in a single pass (partial aggs map-side), then pivoted long
+    with stack(); no per-column jobs, no driver loop."""
+    orders = t(spark, sf_dir, "orders")
+    wide = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("mn_custkey"),
+        F.max("o_custkey").cast("double").alias("mx_custkey"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        ieee_round(F.min("o_totalprice"), 2).alias("mn_price"),
+        ieee_round(F.max("o_totalprice"), 2).alias("mx_price"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("nn_okey"),
+        F.countDistinct("o_orderkey").alias("nd_okey"),
+        F.min("o_orderkey").cast("double").alias("mn_okey"),
+        F.max("o_orderkey").cast("double").alias("mx_okey"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, "
+            "'o_custkey',    nn_custkey, nd_custkey, mn_custkey, mx_custkey, "
+            "'o_totalprice', nn_price,   nd_price,   mn_price,   mx_price, "
+            "'o_orderkey',   nn_okey,    nd_okey,    mn_okey,    mx_okey) "
+            "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
+PROFILE_COLUMNS_SQL = f"""
+SELECT 'o_custkey' AS col_name,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS DOUBLE) AS min_val,
+       CAST(max(o_custkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+       count(DISTINCT o_totalprice),
+       {sql_ieee_round("min(o_totalprice)")},
+       {sql_ieee_round("max(o_totalprice)")}
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       count(CASE WHEN o_orderkey IS NULL THEN 1 END),
+       count(DISTINCT o_orderkey),
+       CAST(min(o_orderkey) AS DOUBLE),
+       CAST(max(o_orderkey) AS DOUBLE)
+FROM orders
+ORDER BY col_name
+"""
+
+
+def gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: daily event counts with missing days emitted as
+    zero. The day spine (sequence min→max) is a few thousand rows at any
+    data scale — broadcast it and left-join the aggregated counts, so the
+    only real shuffle is the groupBy on day. This is the resample/asfreq
+    primitive for regularizing event streams."""
+    ev = events_table(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    counts = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        F.broadcast(days)
+        .join(counts, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"))
+        .orderBy("day")
+    )
+
+
+GAPFILL_SQL = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+           FROM events),
+days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                    AS day
+         FROM b),
+cnt AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1)
+SELECT day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+FROM days LEFT JOIN cnt USING (day)
+ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1864,6 +2000,9 @@ CATALOG.update(
         "string_regexp": Entry(string_regexp, STRING_REGEXP_SQL),
         "agg_stats_funcs": Entry(agg_stats_funcs, AGG_STATS_FUNCS_SQL),
         "agg_conditional": Entry(agg_conditional, AGG_CONDITIONAL_SQL),
+        "split_assign": Entry(split_assign, SPLIT_ASSIGN_SQL),
+        "profile_columns": Entry(profile_columns, PROFILE_COLUMNS_SQL),
+        "gapfill_resample": Entry(gapfill_resample, GAPFILL_SQL),
     }
 )
 
