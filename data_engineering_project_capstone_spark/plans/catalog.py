@@ -1888,10 +1888,10 @@ ORDER BY col_name
 
 def gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill: daily event counts with missing days emitted as
-    zero. The day spine (sequence min→max) is a few thousand rows at any
-    data scale — broadcast it and left-join the aggregated counts, so the
-    only real shuffle is the groupBy on day. This is the resample/asfreq
-    primitive for regularizing event streams."""
+    zero. Both post-agg sides are ≤ a-few-thousand rows at any data scale
+    (one per day); Spark broadcasts the counts side (a left-outer BHJ must
+    build right), so the only real shuffle is the groupBy on day. This is
+    the resample/asfreq primitive for regularizing event streams."""
     ev = events_table(spark, sf_dir)
     bounds = ev.agg(
         F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
@@ -1921,6 +1921,75 @@ cnt AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
 SELECT day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
 FROM days LEFT JOIN cnt USING (day)
 ORDER BY day
+"""
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds a quantity
+    threshold (IN-subquery over a HAVING aggregate, joined back to the fact
+    and dim). The qualifying-keys set is small → Spark plans the IN as a
+    broadcast semi-join; lineitem aggregates once on l_orderkey (partial
+    map-side sum first)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            ieee_round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+LARGE_ORDER_SQL = f"""
+SELECT c_name, o_orderkey, {sql_ieee_round("o_totalprice")} AS o_totalprice
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 150
+)
+ORDER BY o_orderkey
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: up to 10 documents per (lang,
+    source) stratum, chosen by content hash — reproducible across runs and
+    cluster layouts, unlike TABLESAMPLE/rand(). One shuffle on the stratum
+    key; at scale a skewed stratum routes through the two-phase top-k
+    (operators/topk.py) instead of a single whole-partition window."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "source", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "source", "rk")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT lang, source, doc_id,
+           row_number() OVER (
+               PARTITION BY lang, source ORDER BY md5(text), doc_id
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= 10
+ORDER BY lang, source, rk
 """
 
 
@@ -2003,6 +2072,8 @@ CATALOG.update(
         "split_assign": Entry(split_assign, SPLIT_ASSIGN_SQL),
         "profile_columns": Entry(profile_columns, PROFILE_COLUMNS_SQL),
         "gapfill_resample": Entry(gapfill_resample, GAPFILL_SQL),
+        "large_order_customers": Entry(large_order_customers, LARGE_ORDER_SQL),
+        "sample_stratified": Entry(sample_stratified, SAMPLE_STRATIFIED_SQL),
     }
 )
 
