@@ -1993,6 +1993,219 @@ ORDER BY lang, source, rk
 """
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training sequence packing (concat-then-chunk): per language,
+    order docs deterministically (content hash), running token offset,
+    pack_id = offset div capacity. One shuffle (the lang-partitioned
+    window). At 100 TB a single per-lang partition would be the straggler:
+    the scale path is the two-pass layout in operators/topk.py — partial
+    per-partition token sums, broadcast the per-partition offsets, then a
+    partition-local running sum — same result, no whole-lang window."""
+    from ..operators.text import token_count
+
+    cap = 256
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "lang", "doc_id", token_count("text").alias("n_tok"), F.md5("text").alias("h")
+    )
+    packed = toks.withColumn(
+        "pack_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / cap)
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("pack_id").cast("long").alias("pack_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH toks AS (
+    SELECT lang, doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           md5(text) AS h
+    FROM documents
+), c AS (
+    SELECT lang, doc_id, n_tok,
+           sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS cum
+    FROM toks
+)
+SELECT lang,
+       CAST(floor(cum / 256.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM c
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality gates: word count, mean word
+    length, duplicate-word fraction, and the resulting keep/drop flag.
+    Pure per-row expressions — narrow map stage, no shuffle, whole-stage
+    codegen end to end; trivially scales (the only cost is the scan)."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words).cast("long")
+    squeezed = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    mean_wl = ieee_round(squeezed / n_words, 6)
+    dup_frac = ieee_round(
+        1.0 - F.size(F.array_distinct(words)) / n_words, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        (
+            (n_words >= 20)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 10.0)
+            & (dup_frac <= 0.8)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_SQL_WORDS = r"string_split_regex(trim(text), '\s+')"
+_SQL_MEAN_WL = sql_ieee_round(
+    r"length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(" + _SQL_WORDS + ")", 6
+)
+_SQL_DUP_FRAC = sql_ieee_round(
+    "1.0 - len(list_distinct(" + _SQL_WORDS + ")) * 1.0 / len(" + _SQL_WORDS + ")", 6
+)
+
+TEXT_GOPHER_SQL = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
+           {_SQL_MEAN_WL} AS mean_word_len,
+           {_SQL_DUP_FRAC} AS dup_word_frac
+    FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, dup_word_frac,
+       (n_words >= 20 AND mean_word_len BETWEEN 2.0 AND 10.0
+        AND dup_word_frac <= 0.8) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per (lang, source) token totals, the
+    stratum's share of the corpus, and the up/down-sampling weight that
+    flattens the mixture to uniform. The groupBy is the only real shuffle;
+    the post-agg windows run over |strata| rows (~100 at any corpus size),
+    so the unpartitioned window is safe — it never sees raw data."""
+    from ..operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    strata = (
+        docs.select("lang", "source", token_count("text").alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tok").alias("total_tokens"))
+    )
+    w_all = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w_all)
+    uniform = 1.0 / F.count("*").over(w_all)
+    return strata.select(
+        "lang",
+        "source",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        ieee_round(share, 6).alias("share"),
+        ieee_round(uniform / share, 6).alias("weight"),
+    ).orderBy("lang", "source")
+
+
+MIX_WEIGHTS_SQL = f"""
+WITH s AS (
+    SELECT lang, source,
+           CAST(sum(len({_SQL_WORDS})) AS BIGINT)
+               AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+)
+SELECT lang, source, total_tokens,
+       {sql_ieee_round("total_tokens * 1.0 / sum(total_tokens) OVER ()", 6)}
+           AS share,
+       {sql_ieee_round(
+           "(1.0 / count(*) OVER ())"
+           " / (total_tokens * 1.0 / sum(total_tokens) OVER ())", 6)}
+           AS weight
+FROM s
+ORDER BY lang, source
+"""
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing any word 5-gram
+    with the benchmark partition (source='src0' stands in for the eval
+    set). Gram explosion is a flatMap (no shuffle); the gram-equality join
+    is the shuffle. At 100 TB: join on xxhash64(gram) instead of the
+    string (8-byte shuffle keys), distinct the benchmark grams and
+    broadcast them — eval sets are tiny next to the corpus — turning the
+    whole check into a map-side semi-join."""
+    docs = t(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))")
+            ).alias("g"),
+        )
+    )
+    # no distinct on the corpus side: count_distinct dedups after the join
+    # anyway, so the only gram-wide shuffle is the final (doc_id, g) dedup —
+    # the broadcast join itself stays map-side.
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("long").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = r"""
+WITH w AS (
+    SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+), g AS (
+    SELECT DISTINCT doc_id, source,
+           array_to_string(list_slice(w, i, i + 4), ' ') AS g
+    FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+), b AS (
+    SELECT DISTINCT g FROM g WHERE source = 'src0'
+)
+SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared_grams
+FROM g JOIN b USING (g)
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2074,6 +2287,10 @@ CATALOG.update(
         "gapfill_resample": Entry(gapfill_resample, GAPFILL_SQL),
         "large_order_customers": Entry(large_order_customers, LARGE_ORDER_SQL),
         "sample_stratified": Entry(sample_stratified, SAMPLE_STRATIFIED_SQL),
+        "pack_sequences": Entry(pack_sequences, PACK_SEQUENCES_SQL),
+        "text_gopher_filters": Entry(text_gopher_filters, TEXT_GOPHER_SQL),
+        "mix_weights": Entry(mix_weights, MIX_WEIGHTS_SQL),
+        "decontaminate": Entry(decontaminate, DECONTAMINATE_SQL),
     }
 )
 
