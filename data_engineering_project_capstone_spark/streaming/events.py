@@ -36,13 +36,15 @@ def _with_ts(df: DataFrame) -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """File-source stream over the events parquet (one-file demo source;
     swap for kafka/kinesis in production — the downstream plan is
     identical).
 
     The file stream source requires a *directory*; the testdata ships one
-    flat file, so it is exposed through a symlink dir.
+    flat file, so it is exposed through a symlink dir. ``copies > 1``
+    symlinks the same file N times — an at-least-once delivery simulator
+    for exercising streaming dedup.
     """
     import os
     import tempfile
@@ -51,7 +53,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_session_conf(spark)
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+    for i in range(copies):
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, f"events_{i}.parquet"))
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
@@ -151,6 +154,71 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup for at-least-once sources:
+    ``dropDuplicatesWithinWatermark`` keys state on event_id and drops it
+    once the watermark passes — bounded state, unlike a plain streaming
+    ``dropDuplicates`` whose key set grows forever. The batch twin is
+    ``df.dropDuplicates(["event_id"])`` (catalog:dedup_exact family)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_with_user_stats(events: DataFrame, user_stats: DataFrame) -> DataFrame:
+    """Stream-static join: attach a (small, slowly-changing) per-user dim
+    to the live stream. Stateless — the static side broadcasts, each
+    micro-batch joins map-side; the production shape for dimension
+    enrichment at any stream rate."""
+    return events.join(F.broadcast(user_stats), "user_id", "left")
+
+
+def click_purchase_funnel(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_lag_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to the same
+    user's click within ``max_lag_minutes``. Both sides carry watermarks
+    and the join condition bounds event time on both sides, so each
+    side's buffered state is evictable — the canonical funnel/attribution
+    join. Works identically on batch DataFrames (watermarks are a no-op
+    there), which is what the equivalence test exploits.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
     )
 
 

@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 
 from data_engineering_project_capstone_spark.plans.catalog import events_table
 from data_engineering_project_capstone_spark.streaming.events import (
+    click_purchase_funnel,
+    dedup_stream,
+    enrich_with_user_stats,
     read_events_stream,
     run_stream_to_memory,
     session_window_agg,
@@ -79,6 +82,55 @@ def test_session_window_stream_vs_batch(spark, sf_dir, batch_events):
     }
     for k, v in got_m.items():
         assert exp_m.get(k) == v, f"session {k}: stream {v} != batch {exp_m.get(k)}"
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, batch_events):
+    # the same file staged twice = every event delivered twice
+    stream = read_events_stream(spark, sf_dir, copies=2)
+    got = run_stream_to_memory(
+        dedup_stream(stream), "dedup_out", output_mode="append"
+    )
+    n_distinct = batch_events.count()
+    assert got.count() == n_distinct
+
+
+def test_stream_static_enrich(spark, sf_dir, batch_events):
+    user_stats = batch_events.groupBy("user_id").agg(
+        F.count("*").alias("user_total_events")
+    )
+    stream = read_events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        enrich_with_user_stats(stream, user_stats), "enrich_out",
+        output_mode="append",
+    )
+    rows = got.collect()
+    assert len(rows) == batch_events.count()
+    # every row enriched (all users exist in the dim by construction)
+    assert all(r["user_total_events"] is not None for r in rows)
+
+
+def test_stream_stream_funnel_matches_batch(spark, sf_dir, batch_events):
+    clicks_b = batch_events.filter(F.col("event_type") == "click")
+    purch_b = batch_events.filter(F.col("event_type") == "purchase")
+    expect = {
+        (r["click_id"], r["purchase_id"])
+        for r in click_purchase_funnel(clicks_b, purch_b).collect()
+    }
+    assert expect, "batch funnel produced no attributed purchases"
+
+    stream = read_events_stream(spark, sf_dir)
+    got_df = run_stream_to_memory(
+        click_purchase_funnel(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        ),
+        "funnel_out",
+        output_mode="append",
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in got_df.collect()}
+    # inner interval join with watermarks emits every in-window pair; the
+    # single-batch file source advances the watermark past all data
+    assert got == expect
 
 
 def test_sessionize_batch_gap_semantics(spark):
