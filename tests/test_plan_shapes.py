@@ -69,6 +69,34 @@ def test_hash_aggregate_partial_final(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_no_python_udf_in_hot_paths(spark):
+    """Every catalog plan must stay JVM-side (whole-stage codegen) —
+    Python only in the explicitly-gated multimodal stubs (mapInPandas)."""
+    allowed_python = {"multimodal_decode", "multimodal_features"}
+    for name, entry in CATALOG.items():
+        if name in allowed_python:
+            continue
+        df = entry.spark_fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+            assert marker not in plan, f"{name}: {marker} in hot path"
+
+
+def test_gopher_filters_no_shuffle(spark):
+    # pure per-row quality gates: the plan must contain no Exchange at all
+    # (the orderBy is the only allowed one — strip the final sort first)
+    df = CATALOG["text_gopher_filters"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("Sort", 1)[-1]  # everything under the output sort
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_global_window_in_fact_paths(spark):
     # per-key windows are fine; a Window with an empty partition spec on a
     # fact-sized input funnels everything through one task
