@@ -2206,6 +2206,36 @@ ORDER BY doc_id
 """
 
 
+# Identical SQL text runs on BOTH engines (Spark 4 and DuckDB support
+# WITH RECURSIVE) — the one entry where the "Spark side" is spark.sql of
+# the oracle itself, because recursion has no DataFrame-API spelling.
+RECURSIVE_MONTH_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+    SELECT 1
+    UNION ALL
+    SELECT m + 1 FROM months WHERE m < 12
+)
+SELECT m AS month,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders
+  ON EXTRACT(MONTH FROM o_orderdate) = m
+ AND EXTRACT(YEAR FROM o_orderdate) = 1995
+GROUP BY m
+ORDER BY m
+"""
+
+
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a 12-row month spine
+    left-joined to 1995 order counts — months with no orders still appear.
+    The recursion materializes 12 rows on the driver side of the plan and
+    broadcasts; the fact side aggregates with partial combine. Spine
+    recursion depth is constant — safe at any data scale."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(RECURSIVE_MONTH_SPINE_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2291,6 +2321,9 @@ CATALOG.update(
         "text_gopher_filters": Entry(text_gopher_filters, TEXT_GOPHER_SQL),
         "mix_weights": Entry(mix_weights, MIX_WEIGHTS_SQL),
         "decontaminate": Entry(decontaminate, DECONTAMINATE_SQL),
+        "recursive_month_spine": Entry(
+            recursive_month_spine, RECURSIVE_MONTH_SPINE_SQL
+        ),
     }
 )
 

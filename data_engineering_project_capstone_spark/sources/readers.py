@@ -51,6 +51,12 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet; offered so
+    warehouses already laid out in ORC can be read without conversion."""
+    return spark.read.orc(path)
+
+
 def read_sas(spark: SparkSession, path: str) -> DataFrame:
     """SAS sas7bdat scan (S3; reference dataprep.py:197-201).
 
