@@ -2206,6 +2206,49 @@ ORDER BY doc_id
 """
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding-prep chunking: sliding word windows of 50 tokens with
+    10-token overlap (stride 40), entirely with built-ins — sequence for
+    the chunk starts, slice+array_join per chunk, one explode. A flatMap:
+    zero shuffles besides the output sort, scales with the scan. The
+    chunk_idx is derived arithmetically from the start offset so it is
+    stable under any row or partition order."""
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    exploded = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr("sequence(1, greatest(size(w) - 10, 1), 40)")
+            ).alias("s"),
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        ((F.col("s") - 1) / 40).cast("long").alias("chunk_idx"),
+        F.array_join(F.expr("slice(w, s, 50)"), " ").alias("chunk_text"),
+        F.expr("size(slice(w, s, 50))").cast("long").alias("n_chunk_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), s AS (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 10, 1), 40)) AS s
+    FROM w
+)
+SELECT doc_id,
+       CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(w, s, s + 49), ' ') AS chunk_text,
+       CAST(len(list_slice(w, s, s + 49)) AS BIGINT) AS n_chunk_tokens
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # Identical SQL text runs on BOTH engines (Spark 4 and DuckDB support
 # WITH RECURSIVE) — the one entry where the "Spark side" is spark.sql of
 # the oracle itself, because recursion has no DataFrame-API spelling.
@@ -2324,6 +2367,7 @@ CATALOG.update(
         "recursive_month_spine": Entry(
             recursive_month_spine, RECURSIVE_MONTH_SPINE_SQL
         ),
+        "chunk_documents": Entry(chunk_documents, CHUNK_DOCUMENTS_SQL),
     }
 )
 
