@@ -2206,6 +2206,46 @@ ORDER BY doc_id
 """
 
 
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over per-customer order
+    history. last_value gets an explicit UNBOUNDED-to-UNBOUNDED frame (the
+    default frame ends at CURRENT ROW, which silently makes last_value ≡
+    current row — in both engines). One shuffle on o_custkey."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w_full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            ieee_round(F.col("first_price"), 2).alias("first_price"),
+            ieee_round(F.col("last_price"), 2).alias("last_price"),
+            ieee_round(F.col("second_price"), 2).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_VALUE_FUNCTIONS_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       {sql_ieee_round("first_value(o_totalprice) OVER w")} AS first_price,
+       {sql_ieee_round("last_value(o_totalprice) OVER w_full")} AS last_price,
+       {sql_ieee_round("nth_value(o_totalprice, 2) OVER w_full")} AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/embedding-prep chunking: sliding word windows of 50 tokens with
     10-token overlap (stride 40), entirely with built-ins — sequence for
@@ -2368,6 +2408,9 @@ CATALOG.update(
             recursive_month_spine, RECURSIVE_MONTH_SPINE_SQL
         ),
         "chunk_documents": Entry(chunk_documents, CHUNK_DOCUMENTS_SQL),
+        "window_value_functions": Entry(
+            window_value_functions, WINDOW_VALUE_FUNCTIONS_SQL
+        ),
     }
 )
 
