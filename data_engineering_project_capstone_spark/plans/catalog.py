@@ -2206,6 +2206,37 @@ ORDER BY doc_id
 """
 
 
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): nations per region
+    as a sorted comma list. collect_list is order-nondeterministic under
+    parallelism — array_sort makes the result stable under any partition
+    layout (the same reason the oracle SQL needs ORDER BY inside
+    string_agg). Broadcast dim join + 5-group agg: trivially scalable."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .select("r_name", "nations", F.col("n_nations").cast("long").alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+AGG_STRING_CONCAT_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over per-customer order
     history. last_value gets an explicit UNBOUNDED-to-UNBOUNDED frame (the
@@ -2411,6 +2442,7 @@ CATALOG.update(
         "window_value_functions": Entry(
             window_value_functions, WINDOW_VALUE_FUNCTIONS_SQL
         ),
+        "agg_string_concat": Entry(agg_string_concat, AGG_STRING_CONCAT_SQL),
     }
 )
 
