@@ -14,7 +14,7 @@ group key makes output uniqueness structural.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import ratio_of
@@ -58,7 +58,9 @@ def prep_cities(raw: DataFrame) -> DataFrame:
             F.col("Average Household Size").alias("avg_household_size"),
         )
         .pivot("Race", list(RACES))
-        .agg(F.first("Count"))
+        # min, not first: if the raw file repeats a (group, race) row with a
+        # different Count, the survivor must not depend on partition order.
+        .agg(F.min("Count"))
     )
     for raw_name, short in RACES.items():
         wide = wide.withColumnRenamed(raw_name, f"cnt_{short}")
@@ -90,7 +92,18 @@ def prep_cities(raw: DataFrame) -> DataFrame:
         if c.startswith("cnt_") or c == "total_population"
     }
     # One row per (city,state) is structural post-pivot, but the raw file can
-    # repeat a (city,state) group if demographic columns disagree; keep the
-    # reference's first-wins dedup as a deterministic row_number filter
-    # (reference dataprep.py:40 uses drop_duplicates after a sort).
-    return wide.withColumns(int_casts).dropDuplicates(["city", "state"])
+    # repeat a (city,state) group if demographic columns disagree
+    # (reference dataprep.py:40 resolves with sort + drop_duplicates). A
+    # declared sort order makes the survivor partition-independent:
+    # lowest (median_age, total_population, cnt_male) wins, nulls last.
+    wide = wide.withColumns(int_casts)
+    order_cols = [
+        F.col(c).asc_nulls_last()
+        for c in ("median_age", "total_population", "cnt_male")
+    ]
+    w = Window.partitionBy("city", "state").orderBy(*order_cols)
+    return (
+        wide.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -16,6 +16,14 @@ hot bucket can't take down a stage — the standard trade (a pathological
 bucket loses recall instead of the job).
 
 All hashing is ``xxhash64`` (JVM, codegen) — Python never touches a row.
+
+Null-text policy (uniform across families): NULL text is normalized to the
+empty string ``''`` before fingerprinting/shingling. Consequences: in
+:func:`exact_dedup` all null-text and empty-text rows share one fingerprint
+and collapse to a single (min-id) survivor; in the pair-producing families
+(Jaccard / MinHash / SimHash) an empty document has no shingles or tokens,
+so it appears in no near-dup pair — empty-vs-empty duplication is exact-dup
+territory, handled by :func:`exact_dedup`, not a similarity question.
 """
 
 from __future__ import annotations
@@ -32,8 +40,9 @@ from .text import tokens
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text."""
-    toks = tokens(text)
+    """Distinct word n-gram shingles of lowercased text (NULL → '')."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.coalesce(c, F.lit("")))
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
@@ -46,9 +55,15 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def normalized_fingerprint(text: Column | str) -> Column:
-    """md5 of whitespace-collapsed lowercase text — the exact-dup key."""
+    """md5 of whitespace-collapsed lowercase text — the exact-dup key.
+
+    NULL text coalesces to '' so null-text rows get a real (shared)
+    fingerprint instead of a NULL key that groupBy would still collapse —
+    the policy is explicit rather than an accident of NULL grouping."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), "\\s+", " ")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -274,7 +289,9 @@ def simhash_signatures(
     """
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        F.explode(
+            F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = ex.groupBy("id").agg(
         *[
@@ -361,10 +378,19 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    dim: int = 64,
+    lsh_bits: int = 8,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, blocked on
-    ``block_col`` (a cluster/label/LSH-bucket column). With no block column
-    this degrades to all-pairs — only for small inputs.
+    ``block_col`` (a cluster/label column). With ``block_col=None`` the
+    blocking key defaults to a random-hyperplane LSH bucket
+    (:func:`..operators.similarity.lsh_bucket` with ``dim``/``lsh_bits``)
+    — at 100 TB there is no curated label column, and an unblocked
+    crossJoin is corpus-quadratic. High-cosine pairs agree on most
+    hyperplane signs, so same-bucket blocking keeps most true pairs
+    (recall measured against all-pairs in tests). All-pairs is an
+    explicit opt-in: ``allow_all_pairs=True`` — small inputs only.
 
     Output: (id_a, id_b, cos) with id_a < id_b.
     """
@@ -372,6 +398,11 @@ def embedding_dup_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("block"))
     base = df.select(*cols)
+    if not block_col and not allow_all_pairs:
+        from .similarity import lsh_bucket
+
+        base = base.withColumn("block", lsh_bucket(F.col("v"), dim, lsh_bits))
+        block_col = "_lsh"  # any truthy marker: base now carries `block`
     join_keys = ["block"] if block_col else []
     a = base.select(
         *(["block"] if block_col else []),

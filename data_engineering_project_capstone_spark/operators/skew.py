@@ -29,7 +29,18 @@ def salted_join(
 
     ``salt_src``: a big-side column whose hash spreads rows across salts
     (defaults to the whole row via all columns — deterministic, no rand()).
+
+    Only ``inner`` and ``left`` joins are supported: the small side is
+    replicated n_salts×, so right/full-outer would emit each unmatched
+    small-side row once per salt replica. Use an unsalted join (or swap the
+    sides) for those modes.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: the "
+            "exploded small side would duplicate unmatched rows under "
+            "right/full outer modes"
+        )
     salt_cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in big.columns]
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
