@@ -1996,26 +1996,23 @@ ORDER BY lang, source, rk
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-training sequence packing (concat-then-chunk): per language,
     order docs deterministically (content hash), running token offset,
-    pack_id = offset div capacity. One shuffle (the lang-partitioned
-    window). At 100 TB a single per-lang partition would be the straggler:
-    the scale path is the two-pass layout in operators/topk.py — partial
-    per-partition token sums, broadcast the per-partition offsets, then a
-    partition-local running sum — same result, no whole-lang window."""
+    pack_id = offset div capacity. The running sum is the two-pass chunked
+    layout (operators/packing.py): md5-prefix chunks give 256 contiguous
+    slices of each language's order, pass 1 turns tiny per-(lang,chunk)
+    sums into broadcast chunk offsets, pass 2 windows over (lang, chunk) —
+    no whole-lang single-task window, bit-identical to the one-window
+    plan."""
+    from ..operators.packing import chunked_running_offset
     from ..operators.text import token_count
 
     cap = 256
     docs = t(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = docs.select(
         "lang", "doc_id", token_count("text").alias("n_tok"), F.md5("text").alias("h")
     )
-    packed = toks.withColumn(
-        "pack_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / cap)
-    )
+    packed = chunked_running_offset(
+        toks, "lang", "h", "doc_id", "n_tok", out_col="cum"
+    ).withColumn("pack_id", F.floor(F.col("cum") / cap))
     return (
         packed.groupBy("lang", "pack_id")
         .agg(

@@ -97,6 +97,29 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_pack_sequences_no_per_lang_window(spark):
+    """The packing running sum must window over (lang, chunk) — a window
+    partitioned by lang alone is a one-task-per-language straggler at
+    100 TB. The tiny pass-1 offset window over the per-chunk aggregate is
+    allowed; the fact-sized window must carry the chunk column."""
+    plan = plan_of(spark, "pack_sequences")
+    assert "_chunk" in plan, "chunked two-pass layout missing from plan"
+    # the chunk offsets must broadcast, not shuffle the fact side again
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every Window that orders by the per-doc sort key (the fact-sized
+    # running sum) must also partition by _chunk — lang alone is the
+    # one-task-per-language straggler
+    import re
+
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert specs, "no Window operators parsed from plan"
+    fact_windows = [part for part, order in specs if "doc_id" in order]
+    assert fact_windows, "fact-sized running-sum window not found"
+    for part in fact_windows:
+        assert "_chunk" in part, f"per-lang-only window spec: [{part}]"
+
+
 def test_no_global_window_in_fact_paths(spark):
     # per-key windows are fine; a Window with an empty partition spec on a
     # fact-sized input funnels everything through one task
