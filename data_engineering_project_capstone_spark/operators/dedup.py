@@ -380,29 +380,44 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     lsh_bits: int = 8,
+    lsh_bands: int = 4,
     allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, blocked on
     ``block_col`` (a cluster/label column). With ``block_col=None`` the
-    blocking key defaults to a random-hyperplane LSH bucket
-    (:func:`..operators.similarity.lsh_bucket` with ``dim``/``lsh_bits``)
-    — at 100 TB there is no curated label column, and an unblocked
-    crossJoin is corpus-quadratic. High-cosine pairs agree on most
-    hyperplane signs, so same-bucket blocking keeps most true pairs
-    (recall measured against all-pairs in tests). All-pairs is an
-    explicit opt-in: ``allow_all_pairs=True`` — small inputs only.
+    blocking key defaults to BANDED random-hyperplane LSH
+    (:func:`..operators.similarity.lsh_bucket`, ``lsh_bands`` independent
+    ``lsh_bits``-bit bucket keys; a pair is a candidate if ANY band
+    agrees) — at 100 TB there is no curated label column, and an
+    unblocked crossJoin is corpus-quadratic. Per-band same-bucket
+    probability at cosine c is (1 - arccos(c)/π)^bits (~0.75 for c=0.95,
+    8 bits); banding lifts recall to 1-(1-p)^bands (~0.996 for 4 bands) —
+    measured against all-pairs in tests. All-pairs is an explicit opt-in:
+    ``allow_all_pairs=True`` — small inputs only.
 
-    Output: (id_a, id_b, cos) with id_a < id_b.
+    Output: (id_a, id_b, cos) with id_a < id_b. Cost of banding is a
+    ``lsh_bands``× explode of the id+vector projection before the bucket
+    join, and a post-join dropDuplicates on (id_a, id_b) — both linear.
     """
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("block"))
     base = df.select(*cols)
-    if not block_col and not allow_all_pairs:
+    banded = not block_col and not allow_all_pairs
+    if banded:
         from .similarity import lsh_bucket
 
-        base = base.withColumn("block", lsh_bucket(F.col("v"), dim, lsh_bits))
-        block_col = "_lsh"  # any truthy marker: base now carries `block`
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    lsh_bucket(F.col("v"), dim, lsh_bits, plane_offset=bi * lsh_bits).alias("bkt"),
+                )
+                for bi in range(lsh_bands)
+            ]
+        )
+        base = base.withColumn("block", F.explode(bands))
+        block_col = "_lsh"  # truthy marker: base now carries `block`
     join_keys = ["block"] if block_col else []
     a = base.select(
         *(["block"] if block_col else []),
@@ -417,6 +432,10 @@ def embedding_dup_pairs(
     pairs = (a.join(b, join_keys) if join_keys else a.crossJoin(b)).filter(
         F.col("id_a") < F.col("id_b")
     )
+    if banded:
+        # a pair that agrees in several bands appears once per band; the
+        # duplicate rows are identical apart from the band key
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs.select(
         "id_a",
         "id_b",

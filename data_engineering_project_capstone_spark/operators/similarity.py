@@ -72,13 +72,17 @@ def _hyperplane(dim: int, plane: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Sign-bit bucket key: bit p = sign(<vec, hyperplane_p>)."""
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> Column:
+    """Sign-bit bucket key: bit p = sign(<vec, hyperplane_{p+plane_offset}>).
+
+    ``plane_offset`` selects an independent hyperplane family — banded
+    callers (embedding dedup) use offset ``band*bits`` so each band hashes
+    with distinct planes."""
     vd = F.transform(vec, lambda x: x.cast("double"))
     key = F.lit(0).cast("long")
     for p in range(bits):
         dot = F.aggregate(
-            F.zip_with(vd, _hyperplane(dim, p), lambda x, h: x * h),
+            F.zip_with(vd, _hyperplane(dim, p + plane_offset), lambda x, h: x * h),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -87,6 +87,49 @@ def test_embedding_dup_pairs(spark):
     assert (1, 4) not in pairs  # blocked apart — documented recall trade
 
 
+def test_embedding_lsh_blocking_recall(spark):
+    """Default (no block column) = banded LSH blocking. Recall measured
+    against explicit all-pairs on constructed near-dup vectors
+    (cos ≥ ~0.98 twins): 4 bands × 8 bits should catch nearly all."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(80):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        twin = base + rng.normal(scale=0.02, size=64)  # ‖noise‖≈0.16 → cos≈0.987
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            df, block_col=None, allow_all_pairs=True, threshold=0.95
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(df, block_col=None, threshold=0.95).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert lsh <= exact  # blocking only prunes candidates, never invents
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"banded-LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_embedding_all_pairs_requires_flag(spark):
+    """block_col=None without allow_all_pairs must NOT cross-join: the
+    plan has to carry the LSH bucket join, not a CartesianProduct."""
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    plan = (
+        embedding_dup_pairs(df, block_col=None, dim=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
