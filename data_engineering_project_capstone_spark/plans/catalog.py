@@ -1044,20 +1044,42 @@ SELECT * FROM updates
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact distinct/
     percentile (HLL++ and KLL-ish sketches, constant memory per group).
-    Sketch implementations differ across engines → rows-only check here;
-    tests/test_approx.py bounds the error against the exact values."""
+    Sketch VALUES differ across engines, so the driver-compared output is
+    the exact anchors plus within-tolerance verdicts (HLL++ rsd default
+    5%; percentile_approx within 1% of the exact median) — the oracle
+    computes the anchors and expects TRUE verdicts. Raw sketch-vs-exact
+    error curves live in tests/test_approx.py."""
     li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias(
-                "approx_median_price"
-            ),
-            F.count("*").alias("cnt"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_am"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_em"),
+        F.count("*").alias("cnt"),
     )
+    return agg.select(
+        "l_returnflag",
+        "cnt",
+        "n_parts",
+        (F.abs(F.col("_ap") - F.col("n_parts")) <= 0.05 * F.col("n_parts")).alias(
+            "approx_parts_ok"
+        ),
+        (F.abs(F.col("_am") - F.col("_em")) <= 0.01 * F.col("_em")).alias(
+            "approx_median_ok"
+        ),
+    ).orderBy("l_returnflag")
+
+
+AGG_APPROX_SQL = """
+SELECT l_returnflag,
+       count(*) AS cnt,
+       count(DISTINCT l_partkey) AS n_parts,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_median_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1451,6 +1473,244 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=4, probes=5)
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible invariant checks for the rows-only (no_oracle) operators.
+# The sketch/hash internals (xxhash64 MinHash, SimHash, LSH hyperplanes,
+# k-means) are not DuckDB-expressible, but their CONTRACTS are: containment
+# in exact results, violation counts that must be zero, and anchor counts
+# DuckDB computes independently. Each check is a deterministic single-row
+# (or few-row) result the driver hash-compares like any other entry.
+# ---------------------------------------------------------------------------
+
+
+def _scalar(df: DataFrame, expr: Column, name: str) -> DataFrame:
+    """One-row aggregate helper for invariant checks."""
+    return df.agg(expr.cast("long").alias(name))
+
+
+def check_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of dedup_minhash_lsh (xxhash64 → no direct
+    oracle): (1) every emitted pair's INDEPENDENTLY recomputed string-
+    shingle Jaccard is ≥ threshold (phase-2 verify holds), (2) every exact
+    near-dup pair at Jaccard ≥ 0.95 is found (the S-curve catches J≥0.95
+    w.p. 1-(1-0.95⁴)⁸ ≈ 1-2e-6 per pair; measured 0 missed), (3) output
+    ordering id_a < id_b. The anchor n_high_pairs is computed by DuckDB
+    from raw text — a non-vacuous, data-dependent value."""
+    from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs, word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(docs, threshold=0.3)
+    high = jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    sh = docs.select(F.col("doc_id"), word_shingles("text").alias("sh"))
+    rejoined = lsh.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    exact_j = ieee_round(inter / F.greatest(union, F.lit(1.0)), 4)
+    return (
+        _scalar(high, F.count("*"), "n_high_pairs")
+        .crossJoin(
+            _scalar(
+                high.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"),
+                F.count("*"),
+                "n_high_missed",
+            )
+        )
+        .crossJoin(
+            _scalar(
+                rejoined.filter(exact_j < 0.3), F.count("*"), "n_below_threshold"
+            )
+        )
+        .crossJoin(
+            _scalar(
+                lsh.filter(F.col("id_a") >= F.col("id_b")),
+                F.count("*"),
+                "n_order_violations",
+            )
+        )
+    )
+
+
+def _sql_jaccard_high_count(threshold: float) -> str:
+    """DuckDB count of exact blocked-Jaccard pairs ≥ threshold (same
+    min-shingle blocking family as DEDUP_JACCARD_SQL)."""
+    j = (
+        "len(list_intersect(a.shingles, b.shingles)) * 1.0 / "
+        "greatest(len(a.shingles) + len(b.shingles) "
+        "- len(list_intersect(a.shingles, b.shingles)), 1)"
+    )
+    return f"""
+SELECT count(*) FROM (
+    WITH sh AS (
+        SELECT doc_id AS id, shingles,
+               list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS block
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+        )
+    )
+    SELECT DISTINCT a.id, b.id
+    FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+    WHERE {sql_ieee_round(j, 4)} >= {threshold}
+)"""
+
+
+CHECK_MINHASH_SQL = f"""
+SELECT CAST(({_sql_jaccard_high_count(0.95)}) AS BIGINT) AS n_high_pairs,
+       CAST(0 AS BIGINT) AS n_high_missed,
+       CAST(0 AS BIGINT) AS n_below_threshold,
+       CAST(0 AS BIGINT) AS n_order_violations
+"""
+
+
+def check_simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of dedup_simhash: emitted pairs respect the
+    hamming bound and ordering (violations = 0), and SimHash at
+    max_hamming=6 recalls at least half of the exact J≥0.95 near-dups
+    (measured: 18/24 at sf0.01 — bit-vote signatures lose some token-level
+    near-dups, the documented trade vs MinHash). DuckDB anchors
+    n_high_pairs from raw text."""
+    from ..operators.dedup import jaccard_pairs, simhash_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    sim = simhash_pairs(docs, max_hamming=6)
+    high = jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    n_high = _scalar(high, F.count("*"), "n_high_pairs")
+    n_missed = _scalar(
+        high.join(sim.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"),
+        F.count("*"),
+        "_missed",
+    )
+    return (
+        n_high.crossJoin(n_missed)
+        .crossJoin(
+            _scalar(sim.filter(F.col("hamming") > 6), F.count("*"), "n_over_bound")
+        )
+        .crossJoin(
+            _scalar(
+                sim.filter(F.col("id_a") >= F.col("id_b")),
+                F.count("*"),
+                "n_order_violations",
+            )
+        )
+        .select(
+            "n_high_pairs",
+            (F.col("_missed") * 2 <= F.col("n_high_pairs")).alias("high_recall_ok"),
+            "n_over_bound",
+            "n_order_violations",
+        )
+    )
+
+
+CHECK_SIMHASH_SQL = f"""
+SELECT CAST(({_sql_jaccard_high_count(0.95)}) AS BIGINT) AS n_high_pairs,
+       TRUE AS high_recall_ok,
+       CAST(0 AS BIGINT) AS n_over_bound,
+       CAST(0 AS BIGINT) AS n_order_violations
+"""
+
+
+def _ann_check(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, k: int
+) -> DataFrame:
+    """Shared ANN contract: complete result sets (k rows per query) and no
+    approximate score ever beats the exact top-1 (approximate search only
+    prunes candidates, it cannot invent similarity)."""
+    from ..operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact1 = cosine_topk(emb, q, k=1).select(
+        "query_id", F.col("cos").alias("best_cos")
+    )
+    joined = approx.join(exact1, "query_id")
+    n_queries = _scalar(q, F.count("*"), "n_queries")
+    n_rows = _scalar(approx, F.count("*"), "_rows")
+    n_beats = _scalar(
+        joined.filter(F.col("cos") > F.col("best_cos")), F.count("*"), "n_beats_exact"
+    )
+    return (
+        n_queries.crossJoin(n_rows)
+        .crossJoin(n_beats)
+        .select(
+            "n_queries",
+            (F.col("_rows") == F.col("n_queries") * k).alias("rows_complete"),
+            "n_beats_exact",
+        )
+    )
+
+
+def check_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of similarity_lsh_topk: k results per
+    query, no approximate cos above the exact optimum. n_queries anchored
+    by DuckDB."""
+    from ..operators.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    approx = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=4, probes=5)
+    return _ann_check(spark, sf_dir, approx, k=3)
+
+
+def check_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of similarity_ivf_topk — invariants that
+    hold under k-means nondeterminism (completeness + can't-beat-exact)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    approx = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return _ann_check(spark, sf_dir, approx, k=3)
+
+
+CHECK_ANN_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
+           AS n_queries,
+       TRUE AS rows_complete,
+       CAST(0 AS BIGINT) AS n_beats_exact
+"""
+
+
+def check_cluster_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of dedup_resolve_clusters: after the fixed
+    4 propagation rounds every edge's endpoints share a component
+    (converged), every component label is the true min doc_id of its
+    members, and the doc count anchors against DuckDB."""
+    from ..operators.clusters import connected_components
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    comps = connected_components(pairs, max_iterations=4, check_convergence=False)
+    edges = pairs.select("id_a", "id_b")
+    ca = comps.select(F.col("id").alias("id_a"), F.col("component").alias("comp_a"))
+    cb = comps.select(F.col("id").alias("id_b"), F.col("component").alias("comp_b"))
+    edge_viol = (
+        edges.join(ca, "id_a").join(cb, "id_b").filter(F.col("comp_a") != F.col("comp_b"))
+    )
+    minlabel_viol = (
+        comps.groupBy("component")
+        .agg(F.min("id").alias("min_id"))
+        .filter(F.col("min_id") != F.col("component"))
+    )
+    return (
+        _scalar(docs, F.count("*"), "n_docs")
+        .crossJoin(_scalar(edge_viol, F.count("*"), "n_edge_violations"))
+        .crossJoin(_scalar(minlabel_viol, F.count("*"), "n_minlabel_violations"))
+    )
+
+
+CHECK_CLUSTERS_SQL = """
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_edge_violations,
+       CAST(0 AS BIGINT) AS n_minlabel_violations
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2397,7 +2657,7 @@ CATALOG: dict[str, Entry] = {
     "join_range_bucketed": Entry(join_range_bucketed, JOIN_RANGE_SQL),
     "merge_scd2": Entry(merge_scd2, MERGE_SCD2_SQL),
     "agg_distinct_count": Entry(agg_distinct_count, AGG_DISTINCT_COUNT_SQL),
-    "agg_approx": Entry(agg_approx, None),  # sketch impls differ per engine
+    "agg_approx": Entry(agg_approx, AGG_APPROX_SQL),
     "similarity_ivf_topk": Entry(similarity_ivf_topk, None),  # k-means nondet.
     "dedup_resolve_clusters": Entry(dedup_resolve_clusters, None),  # iterative
     "events_json_struct": Entry(events_json_struct, EVENTS_JSON_STRUCT_SQL),
@@ -2440,6 +2700,16 @@ CATALOG.update(
             window_value_functions, WINDOW_VALUE_FUNCTIONS_SQL
         ),
         "agg_string_concat": Entry(agg_string_concat, AGG_STRING_CONCAT_SQL),
+        # driver-visible invariant checks for the rows-only operators
+        "check_minhash_containment": Entry(
+            check_minhash_containment, CHECK_MINHASH_SQL
+        ),
+        "check_simhash_invariants": Entry(check_simhash_invariants, CHECK_SIMHASH_SQL),
+        "check_lsh_topk": Entry(check_lsh_topk, CHECK_ANN_SQL),
+        "check_ivf_topk": Entry(check_ivf_topk, CHECK_ANN_SQL),
+        "check_cluster_consistency": Entry(
+            check_cluster_consistency, CHECK_CLUSTERS_SQL
+        ),
     }
 )
 
