@@ -28,6 +28,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     check_convergence: bool = True,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Edges (id_a, id_b) → (id, component) with component = min id
     reachable. Nodes appearing in no edge are absent (callers union
@@ -37,12 +38,23 @@ def connected_components(
     in its closed neighborhood until a full pass changes nothing.
 
     Convergence is detected by the label-sum invariant: the sum of labels
-    is strictly decreasing until the fixpoint, so one cheap agg action per
-    iteration replaces a join+count diff. ``check_convergence=False`` runs
-    exactly ``max_iterations`` passes with no actions at all — the right
-    mode when the graph is known to be shallow (near-dup graphs are
+    is strictly decreasing until the fixpoint. Each probe is a scalar agg
+    action — cheap, but at 100 TB still a full pass over the labels — so
+    probes run every ``probe_every``-th iteration (the sum being unchanged
+    across the probe gap still implies the fixpoint, since it decreases
+    monotonically while anything changes). ``check_convergence=False``
+    runs exactly ``max_iterations`` passes with no actions at all — the
+    right mode when the graph is known to be shallow (near-dup graphs are
     stars/cliques that close in 2-3 rounds).
+
+    Min-label propagation moves a label ONE hop per iteration: a graph of
+    diameter d needs ~d iterations. If ``max_iterations`` is exhausted
+    without a confirmed fixpoint (long paths/chains), a RuntimeWarning is
+    raised — labels are then an under-merged partition (each emitted
+    component is a subset of a true component, never a mix of two).
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -54,7 +66,8 @@ def connected_components(
         F.least(F.col("a"), F.col("nbr_min")).alias("component"),
     )
     prev_sum: int | None = None
-    for _ in range(max_iterations):
+    converged = False
+    for it in range(max_iterations):
         # propagate: node's new label = min(own label, neighbors' labels)
         nbr_labels = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -72,11 +85,21 @@ def connected_components(
             )
         )
         labels = labels.localCheckpoint(eager=True)  # cut lineage growth
-        if check_convergence:
+        last_iter = it == max_iterations - 1
+        if check_convergence and ((it + 1) % probe_every == 0 or last_iter):
             cur = labels.agg(F.sum("component")).collect()[0][0]
             if prev_sum is not None and cur == prev_sum:
+                converged = True
                 break
             prev_sum = cur
+    if check_convergence and not converged:
+        warnings.warn(
+            f"connected_components: no confirmed fixpoint within "
+            f"{max_iterations} iterations (graph diameter likely exceeds "
+            f"the budget); labels may be under-merged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -863,14 +863,26 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window form instead of DuckDB's native ASOF JOIN: ASOF picks an
+# ARBITRARY right row when two signups share (user_id, ts), while the
+# Spark asof_join breaks that tie on greatest event_id — the explicit
+# (ts DESC, event_id DESC) order makes the oracle deterministic too.
 JOIN_ASOF_SQL = """
-SELECT p.event_id, p.user_id, p.ts,
-       s.event_id AS signup_event_id,
-       round(s.value, 2) AS signup_value
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN
-     (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'signup') s
-ON p.user_id = s.user_id AND p.ts >= s.ts
+SELECT event_id, user_id, ts, signup_event_id, signup_value
+FROM (
+    SELECT p.event_id, p.user_id, p.ts,
+           s.event_id AS signup_event_id,
+           round(s.value, 2) AS signup_value,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY s.ts DESC, s.event_id DESC
+           ) AS rn
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+) WHERE rn = 1
 """
 
 

@@ -30,13 +30,18 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+_STAGE_ROOT: str | None = None  # process-lifetime symlink staging root
+
+
 def _with_ts(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 1, staging_dir: str | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (one-file demo source;
     swap for kafka/kinesis in production — the downstream plan is
     identical).
@@ -45,6 +50,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
     flat file, so it is exposed through a symlink dir. ``copies > 1``
     symlinks the same file N times — an at-least-once delivery simulator
     for exercising streaming dedup.
+
+    ``staging_dir``: caller-owned directory for the symlinks (caller
+    controls its lifetime — the test fixtures pass tmp_path). When omitted
+    a process-lifetime temp dir is created once and removed at interpreter
+    exit; repeated calls reuse it (one subdir per call) instead of leaking
+    a fresh mkdtemp every call.
     """
     import os
     import tempfile
@@ -52,7 +63,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> Dat
     from ..plans.catalog import _ensure_session_conf
 
     _ensure_session_conf(spark)
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    if staging_dir is None:
+        global _STAGE_ROOT
+        if _STAGE_ROOT is None:
+            import atexit
+            import shutil
+
+            _STAGE_ROOT = tempfile.mkdtemp(prefix="events_stream_")
+            atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
+        staging_dir = _STAGE_ROOT
+    stage = tempfile.mkdtemp(prefix="src_", dir=staging_dir)
     for i in range(copies):
         os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, f"events_{i}.parquet"))
     raw = (

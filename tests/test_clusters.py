@@ -59,6 +59,35 @@ def test_chain_converges(spark):
     assert all(r["component"] == 0 for r in got)
 
 
+def test_long_path_exceeding_budget_warns_and_undermerges(spark):
+    """Diameter > max_iterations: must surface a RuntimeWarning, and the
+    partial labels are under-merged subsets (never a mix of two true
+    components)."""
+    edges = [(i, i + 1) for i in range(20)]  # path 0-…-20, diameter 20
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.warns(RuntimeWarning, match="under-merged"):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, max_iterations=5).collect()
+        }
+    # every label must itself be a node of the (single) true component and
+    # be ≤ the node id (min-label invariant) — subsets, not mixtures
+    assert all(0 <= comp <= node for node, comp in got.items())
+    # and it genuinely under-merged: not everything reached 0 in 5 hops
+    assert any(comp != 0 for comp in got.values())
+
+
+def test_long_path_with_budget_converges_quietly(spark):
+    import warnings
+
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = connected_components(df, max_iterations=30).collect()
+    assert all(r["component"] == 0 for r in got)
+
+
 def test_dedup_by_components(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]

@@ -133,6 +133,108 @@ def test_stream_stream_funnel_matches_batch(spark, sf_dir, batch_events):
     assert got == expect
 
 
+def test_funnel_late_arrival_state_eviction(spark, tmp_path):
+    """Out-of-order purchases join as long as the watermark allows it;
+    once both sides' watermarks pass, click state is evicted and a
+    too-late purchase produces NOTHING — row count stays stable across
+    further triggers (bounded state, the point of the interval join)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def add_file(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, src / f"{name}.parquet")
+
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    # batch 1: three clicks + one in-window purchase (user 1)
+    add_file(
+        "b1",
+        [
+            (1, 1, "click", t0, 0.0),
+            (2, 2, "click", t0, 0.0),
+            (3, 3, "click", t0, 0.0),
+            (11, 1, "purchase", t0 + 10 * m, 5.0),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp, value double"
+        ).parquet(str(src))
+    )
+    funnel = click_purchase_funnel(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_lag_minutes=60,
+        watermark="2 hours",
+    )
+    q = (
+        funnel.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an OUT-OF-ORDER purchase for user 2 (event time only
+        # t0+20m) — still above the watermark, must join. Far-future
+        # heartbeats on BOTH sides (distinct users, no pair) then push the
+        # global watermark past t0, evicting the t0 click state.
+        add_file(
+            "b2",
+            [
+                (12, 2, "purchase", t0 + 20 * m, 6.0),
+                (901, 901, "click", t0 + 10 * h, 0.0),
+                (902, 902, "purchase", t0 + 10 * h, 0.0),
+            ],
+        )
+        q.processAllAvailable()
+        # batch 3: user 3's purchase is now BELOW the watermark → dropped,
+        # its click state already evicted; no new rows may appear
+        add_file(
+            "b3",
+            [
+                (13, 3, "purchase", t0 + 30 * m, 7.0),
+                (903, 903, "click", t0 + 11 * h, 0.0),
+                (904, 904, "purchase", t0 + 11 * h, 0.0),
+            ],
+        )
+        q.processAllAvailable()
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM funnel_late").collect()
+        }
+        assert got == {(1, 11), (2, 12)}, got
+        n_before = spark.sql("SELECT count(*) c FROM funnel_late").collect()[0]["c"]
+        # extra trigger with only heartbeats: count must be stable
+        add_file(
+            "b4",
+            [
+                (905, 905, "click", t0 + 12 * h, 0.0),
+                (906, 906, "purchase", t0 + 12 * h, 0.0),
+            ],
+        )
+        q.processAllAvailable()
+        n_after = spark.sql("SELECT count(*) c FROM funnel_late").collect()[0]["c"]
+        assert n_after == n_before == 2
+    finally:
+        q.stop()
+
+
 def test_sessionize_batch_gap_semantics(spark):
     import datetime as dt
 
