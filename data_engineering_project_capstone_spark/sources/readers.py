@@ -58,11 +58,14 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_sas(spark: SparkSession, path: str) -> DataFrame:
-    """SAS sas7bdat scan (S3; reference dataprep.py:197-201).
+    """SAS sas7bdat scan via the optional connector jar (S3; reference
+    dataprep.py:197-201).
 
-    The saurfang spark-sas7bdat connector is not in this image; gate it so
-    the source layer stays pluggable. Tests feed SAS-shaped parquet/CSV
-    fixtures through :data:`schemas.STAGING_TRAVELERS` instead.
+    The DOCUMENTED production route is :func:`..sources.sas.ingest_sas` —
+    one-time chunked conversion to parquet (pandas' built-in sas7bdat
+    reader, no extra dependency), then splittable/pruned parquet scans.
+    This raw-connector path stays for clusters that ship the saurfang jar;
+    it is gated here because the jar is not in this image.
     """
     try:
         return spark.read.format("com.github.saurfang.sas.spark").load(path)
