@@ -33,6 +33,12 @@ HEADLINE = [
     "dedup_minhash_lsh",      # banded MinHash near-dup
     "similarity_topk",        # brute-force cosine ANN baseline
     "join_asof_events",       # as-of join composition
+    # r2 additions: heaviest post-r1 entries, so regressions are catchable
+    "pack_sequences",         # two-pass chunked running-sum packing
+    "chunk_documents",        # RAG chunk explode
+    "decontaminate",          # broadcast n-gram decontamination
+    "window_value_functions", # first/last/nth_value frames
+    "subquery_correlated_avg",# correlated-subquery decorrelation
 ]
 
 
