@@ -1726,6 +1726,249 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
 
 
 # ---------------------------------------------------------------------------
+# r2 surface widening: null-safe join, higher-order array functions, PII
+# redaction, per-source token budgets, repetition filtering, histograms
+# ---------------------------------------------------------------------------
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``eqNullSafe`` / IS NOT DISTINCT FROM):
+    NULL keys match NULL keys — the semantics a plain equi-join silently
+    drops. Key nulled for one segment to make the NULL group real. The
+    count side is tiny (≤ |segments|) → broadcast."""
+    cust = t(spark, sf_dir, "customer")
+    left = cust.select(
+        "c_custkey", F.expr("nullif(c_mktsegment, 'MACHINERY')").alias("seg")
+    )
+    counts = (
+        left.groupBy("seg")
+        .agg(F.count("*").alias("seg_cnt"))
+        .withColumnRenamed("seg", "_cseg")  # disambiguate the join key
+    )
+    joined = left.join(
+        F.broadcast(counts), F.col("seg").eqNullSafe(F.col("_cseg"))
+    )
+    return joined.select("c_custkey", "seg", "seg_cnt").orderBy("c_custkey")
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH l AS (SELECT c_custkey, nullif(c_mktsegment, 'MACHINERY') AS seg
+           FROM customer),
+c AS (SELECT seg, count(*) AS seg_cnt FROM l GROUP BY seg)
+SELECT l.c_custkey, l.seg, c.seg_cnt
+FROM l JOIN c ON l.seg IS NOT DISTINCT FROM c.seg
+ORDER BY l.c_custkey
+"""
+
+
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — transform/
+    filter/aggregate/exists, all JVM-side codegen (the Spark idiom for
+    array math without any UDF). Sequential left-fold on both engines →
+    bit-identical float sums (0.0+v₁+… ≡ v₁+…)."""
+    emb = t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = F.aggregate(vd, F.lit(0.0), lambda a, x: a + x)
+    max_abs = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(vd, lambda x: x > 0)).cast("long").alias("n_pos"),
+        ieee_round(total, 6).alias("sum_all"),
+        ieee_round(max_abs, 6).alias("max_abs"),
+        F.exists(vd, lambda x: x > 0.9).alias("has_big"),
+    ).orderBy("vec_id")
+
+
+ARRAY_HIGHER_ORDER_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+       {sql_ieee_round("list_reduce(v, (a, x) -> a + x)", 6)} AS sum_all,
+       {sql_ieee_round("list_aggregate(list_transform(v, x -> abs(x)), 'max')", 6)}
+           AS max_abs,
+       len(list_filter(v, x -> x > 0.9)) > 0 AS has_big
+FROM e ORDER BY vec_id
+"""
+
+
+# regex snippets hoisted (backslashes are illegal inside f-string braces
+# pre-3.12); both patterns parse identically under Java regex and RE2
+_EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_NUM_PAT = "\\d{3,}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails then long digit runs, count both.
+    The testdata corpus contains neither (verified), so a deterministic
+    synthetic contact line is appended to every 10th doc on BOTH engines —
+    the redaction work is real, the injection is the fixture. Narrow map
+    stage, zero shuffle; at 100 TB cost = the scan."""
+    docs = t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id "),
+            (F.col("doc_id") * 7919).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    step1 = F.regexp_replace(injected, _EMAIL_PAT, "<EMAIL>")
+    step2 = F.regexp_replace(step1, _NUM_PAT, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL_PAT)).cast("long").alias("n_emails"),
+        F.regexp_count(step1, F.lit(_NUM_PAT)).cast("long").alias("n_nums"),
+        F.md5(step2).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com id ' || "
+    "CAST(doc_id * 7919 AS VARCHAR) ELSE text END"
+)
+PII_REDACT_SQL = (
+    "WITH inj AS (SELECT doc_id, " + _PII_INJECT_SQL + " AS t0 FROM documents),\n"
+    "s1 AS (SELECT doc_id, t0, regexp_replace(t0, '" + _EMAIL_PAT + "', '<EMAIL>', 'g') AS t1 FROM inj)\n"
+    "SELECT doc_id,\n"
+    "       CAST(len(regexp_extract_all(t0, '" + _EMAIL_PAT + "')) AS BIGINT) AS n_emails,\n"
+    "       CAST(len(regexp_extract_all(t1, '" + _NUM_PAT + "')) AS BIGINT) AS n_nums,\n"
+    "       md5(regexp_replace(t1, '" + _NUM_PAT + "', '<NUM>', 'g')) AS redacted_md5\n"
+    "FROM s1 ORDER BY doc_id"
+)
+
+
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget: keep docs (in deterministic content-hash
+    order) while the source's running token total stays ≤ 800 — the
+    per-domain quota pattern of corpus curation. The running sum is the
+    two-pass chunked layout (operators/packing.py): no per-source
+    single-task window, same scale shape as pack_sequences."""
+    from ..operators.packing import chunked_running_offset
+    from ..operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", token_count("text").alias("n_tok"), F.md5("text").alias("h")
+    )
+    budget = 800
+    cum = chunked_running_offset(toks, "source", "h", "doc_id", "n_tok", out_col="cum")
+    return (
+        cum.filter(F.col("cum") + F.col("n_tok") <= budget)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("cum").cast("long").alias("cum_before"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+SOURCE_TOKEN_BUDGET_SQL = r"""
+WITH toks AS (
+    SELECT source, doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           md5(text) AS h
+    FROM documents
+), c AS (
+    SELECT source, doc_id, n_tok,
+           sum(n_tok) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS cum
+    FROM toks
+)
+SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum AS BIGINT) AS cum_before
+FROM c WHERE cum + n_tok <= 800
+ORDER BY source, doc_id
+"""
+
+
+def text_dup_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram fraction per doc — the repetition gate that
+    complements Gopher's duplicate-WORD fraction (captures looping
+    phrases, not just vocabulary reuse). Pure per-row array expressions,
+    zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    n_grams = F.size(grams).cast("double")
+    dup_frac = ieee_round(
+        1.0 - F.size(F.array_distinct(grams)) / F.greatest(n_grams, F.lit(1.0)), 4
+    )
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        (dup_frac <= 0.05).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_DUP_BIGRAM_EXPR = (
+    "1.0 - len(list_distinct(g)) * 1.0 / greatest(len(g), 1)"
+)
+TEXT_DUP_BIGRAMS_SQL = (
+    r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' ')) AS g
+    FROM t
+)
+SELECT doc_id, CAST(len(g) AS BIGINT) AS n_bigrams,
+"""
+    + f"       {sql_ieee_round(_DUP_BIGRAM_EXPR, 4)} AS dup_bigram_frac,\n"
+    + f"       {sql_ieee_round(_DUP_BIGRAM_EXPR, 4)} <= 0.05 AS keep\n"
+    + "FROM g ORDER BY doc_id"
+)
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (width-50 buckets): the standard
+    pre-training length profile. One map-side-combined agg shuffle over
+    ≤ ~100 buckets."""
+    from ..operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.floor(token_count("text") / 50).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"), token_count("text").alias("n_tok"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50).alias("lo_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("bucket")
+    )
+
+
+TOKEN_HISTOGRAM_SQL = r"""
+WITH t AS (
+    SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents
+)
+SELECT CAST(floor(n_tok / 50) AS BIGINT) AS bucket,
+       CAST(floor(n_tok / 50) AS BIGINT) * 50 AS lo_tokens,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM t
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (no media table in the driver testdata → deterministic fixture
 # built in-memory; rows-only checks, full pytest coverage in
 # tests/test_multimodal.py)
@@ -2722,6 +2965,13 @@ CATALOG.update(
         "check_cluster_consistency": Entry(
             check_cluster_consistency, CHECK_CLUSTERS_SQL
         ),
+        # r2 surface widening
+        "join_null_safe": Entry(join_null_safe, JOIN_NULL_SAFE_SQL),
+        "array_higher_order": Entry(array_higher_order, ARRAY_HIGHER_ORDER_SQL),
+        "pii_redact": Entry(pii_redact, PII_REDACT_SQL),
+        "source_token_budget": Entry(source_token_budget, SOURCE_TOKEN_BUDGET_SQL),
+        "text_dup_bigrams": Entry(text_dup_bigrams, TEXT_DUP_BIGRAMS_SQL),
+        "token_histogram": Entry(token_histogram, TOKEN_HISTOGRAM_SQL),
     }
 )
 
