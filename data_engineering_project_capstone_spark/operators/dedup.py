@@ -40,12 +40,20 @@ from .text import tokens
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text (NULL → '')."""
+    """Distinct word n-gram shingles of lowercased text (NULL → '').
+
+    An empty/whitespace-only document has NO shingles (empty array), not a
+    [''] singleton — ``split('', '\\s+')`` yields [''] and the final filter
+    drops the empty shingle it would produce, so empty docs can never pair
+    in any shingle-based family (the documented null policy)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens(F.coalesce(c, F.lit("")))
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.filter(
+        F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+        lambda s: s != "",
     )
 
 
@@ -287,12 +295,18 @@ def simhash_signatures(
     not a 60-deep nested-aggregate expression. 60 bits keeps the numeric
     fold inside signed-long range.
     """
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
-        ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+            ).alias("tok"),
+        )
+        # empty docs tokenize to [''] — drop it so they carry no signature
+        # and therefore never pair (uniform null policy)
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+    )
     votes = ex.groupBy("id").agg(
         *[
             F.sum(

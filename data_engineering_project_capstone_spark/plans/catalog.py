@@ -1345,9 +1345,10 @@ WITH sh AS (
            list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS block
     FROM (
         SELECT doc_id,
-               list_distinct(list_transform(
+               list_filter(list_distinct(list_transform(
                    range(1, greatest(len(toks) - 2, 1) + 1),
-                   i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                   i -> array_to_string(toks[i:i+2], ' '))),
+                   s -> s <> '') AS shingles
         FROM (SELECT doc_id,
                      string_split_regex(lower(trim(text)), '\\s+') AS toks
               FROM documents)
@@ -1561,9 +1562,10 @@ SELECT count(*) FROM (
                list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS block
         FROM (
             SELECT doc_id,
-                   list_distinct(list_transform(
+                   list_filter(list_distinct(list_transform(
                        range(1, greatest(len(toks) - 2, 1) + 1),
-                       i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+                       i -> array_to_string(toks[i:i+2], ' '))),
+                       s -> s <> '') AS shingles
             FROM (SELECT doc_id,
                          string_split_regex(lower(trim(text)), '\\s+') AS toks
                   FROM documents)

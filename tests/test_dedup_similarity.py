@@ -73,6 +73,26 @@ def test_simhash_pairs(spark, docs):
     assert pairs[(1, 3)] <= 20
 
 
+def test_null_text_policy_uniform(spark):
+    """NULL text ≡ '' across all dedup families: exact-dup collapses all
+    null/empty docs to one min-id survivor; pair families emit nothing
+    for them (no shingles/tokens)."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),  # whitespace-only normalizes to ''
+        (4, BASE),
+        (5, BASE),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert kept == {1, 4}  # 1 survives the null/empty group; 4 the BASE pair
+    for fn in (jaccard_pairs, minhash_lsh_pairs, simhash_pairs):
+        pairs = fn(df).select("id_a", "id_b").collect()
+        ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+        assert not ids & {1, 2, 3}, f"{fn.__name__} paired an empty doc"
+
+
 def test_embedding_dup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], 0),
