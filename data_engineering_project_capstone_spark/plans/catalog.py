@@ -1970,6 +1970,105 @@ ORDER BY bucket
 """
 
 
+def agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe distinct count: phase 1 dedups (key, value) pairs —
+    a hash shuffle whose parallelism is the PAIR cardinality, not the key
+    cardinality — phase 2 counts per key over the deduped set. The
+    expand-free plan for COUNT(DISTINCT) when one hot key holds most of
+    the data; exactly equal to count(distinct) by construction."""
+    li = t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    return (
+        pairs.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_DISTINCT_TWOPHASE_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: 7-day revenue per order status over
+    daily totals. Money travels as DECIMAL(18,2) through BOTH sums —
+    exact arithmetic is order-independent, so the sliding-frame result is
+    engine-identical no matter how each engine incrementalizes the
+    window (float moving-sum tricks would drift). Final cast to double
+    only at the output boundary."""
+    orders = t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    )
+    daily = (
+        orders.select(
+            "o_orderstatus",
+            day.cast("long").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_orderstatus", "day")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("day").rangeBetween(-6, 0)
+    return daily.withColumn("rev_7d", F.sum("rev").over(w)).select(
+        "o_orderstatus",
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("rev_7d").cast("double").alias("rev_7d"),
+    ).orderBy("o_orderstatus", "day")
+
+
+WINDOW_RANGE_FRAME_SQL = """
+WITH daily AS (
+    SELECT o_orderstatus,
+           date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT o_orderstatus, day,
+       CAST(rev AS DOUBLE) AS rev,
+       CAST(sum(rev) OVER (
+           PARTITION BY o_orderstatus ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_7d
+FROM daily
+ORDER BY o_orderstatus, day
+"""
+
+
+def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: count_if, bool_and,
+    bool_or — predicate aggregation without CASE scaffolding."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_big_discount"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BOOLEAN_FUNCS_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.05) AS any_big_discount,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (no media table in the driver testdata → deterministic fixture
 # built in-memory; rows-only checks, full pytest coverage in
@@ -2974,6 +3073,11 @@ CATALOG.update(
         "source_token_budget": Entry(source_token_budget, SOURCE_TOKEN_BUDGET_SQL),
         "text_dup_bigrams": Entry(text_dup_bigrams, TEXT_DUP_BIGRAMS_SQL),
         "token_histogram": Entry(token_histogram, TOKEN_HISTOGRAM_SQL),
+        "agg_distinct_twophase": Entry(
+            agg_distinct_twophase, AGG_DISTINCT_TWOPHASE_SQL
+        ),
+        "window_range_frame": Entry(window_range_frame, WINDOW_RANGE_FRAME_SQL),
+        "agg_boolean_funcs": Entry(agg_boolean_funcs, AGG_BOOLEAN_FUNCS_SQL),
     }
 )
 
