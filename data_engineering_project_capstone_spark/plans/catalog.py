@@ -2069,6 +2069,138 @@ ORDER BY l_returnflag
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in batch mode (30-min gap) — the same
+    operator the streaming path uses, verified here against the lag+cumsum
+    SQL formulation of gap sessions. window.end is last_event + gap by
+    session_window's definition; the oracle reproduces it as max(ts) +
+    INTERVAL. One shuffle on (user_id, merged window)."""
+    ev = events_table(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end_gap"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# epoch_us comparison (not date_diff('second')): session_window merges on
+# exact µs gaps, so the oracle's new-session predicate must too
+EVENTS_SESSION_WINDOW_SQL = """
+WITH g AS (
+    SELECT event_id, ts, user_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_seq
+    FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary mining: top-100 word bigrams by occurrence.
+    The top-k is orderBy+limit — Spark's TakeOrdered (per-partition heaps
+    + driver merge of 100-row heads), NOT a global window; scale cost is
+    the gram explode + one combined count shuffle. Deterministic tiebreak
+    on the gram string."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(100)
+    )
+
+
+NGRAM_COUNTS_SQL = r"""
+WITH t AS (
+    SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+), g AS (
+    SELECT unnest(list_transform(
+        range(1, greatest(len(toks) - 1, 1) + 1),
+        i -> array_to_string(toks[i:i+1], ' '))) AS gram
+    FROM t
+)
+SELECT gram, count(*) AS n
+FROM g WHERE gram <> ''
+GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT 100
+"""
+
+
+def clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based outlier clipping (winsorization): per-lang p05/p95
+    of doc length, values clamped into the band. Two passes: a tiny
+    per-lang percentile agg (broadcast back) + a narrow map — the standard
+    shape for stats-then-apply at scale."""
+    docs = t(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ieee_round(
+                F.least(
+                    F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+                    F.col("p95"),
+                ),
+                2,
+            ).alias("clipped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CLIP_OUTLIERS_SQL = f"""
+WITH stats AS (
+    SELECT lang,
+           quantile_cont(n_chars, 0.05) AS p05,
+           quantile_cont(n_chars, 0.95) AS p95
+    FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars,
+       {sql_ieee_round("least(greatest(CAST(n_chars AS DOUBLE), p05), p95)", 2)}
+           AS clipped
+FROM documents d JOIN stats USING (lang)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (no media table in the driver testdata → deterministic fixture
 # built in-memory; rows-only checks, full pytest coverage in
@@ -3078,6 +3210,11 @@ CATALOG.update(
         ),
         "window_range_frame": Entry(window_range_frame, WINDOW_RANGE_FRAME_SQL),
         "agg_boolean_funcs": Entry(agg_boolean_funcs, AGG_BOOLEAN_FUNCS_SQL),
+        "events_session_window": Entry(
+            events_session_window, EVENTS_SESSION_WINDOW_SQL
+        ),
+        "ngram_counts": Entry(ngram_counts, NGRAM_COUNTS_SQL),
+        "clip_outliers": Entry(clip_outliers, CLIP_OUTLIERS_SQL),
     }
 )
 
