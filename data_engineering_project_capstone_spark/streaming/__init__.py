@@ -5,6 +5,11 @@ from .events import (
     sliding_counts,
     tumbling_counts,
 )
+from .sinks import (
+    idempotent_parquet_batch_writer,
+    start_foreach_batch_sink,
+    start_parquet_sink,
+)
 
 __all__ = [
     "read_events_stream",
@@ -12,4 +17,7 @@ __all__ = [
     "sessionize_batch",
     "sliding_counts",
     "tumbling_counts",
+    "idempotent_parquet_batch_writer",
+    "start_foreach_batch_sink",
+    "start_parquet_sink",
 ]
