@@ -55,6 +55,27 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_left_and_mode_guard(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    # left join parity (unmatched big-side rows survive exactly once)
+    plain = orders.join(customer, "o_custkey", "left").select(
+        "o_orderkey", "c_name"
+    )
+    salted = salted_join(orders, customer, "o_custkey", n_salts=8, how="left").select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # outer modes would emit unmatched small-side rows once per salt → refuse
+    import pytest as _pytest
+
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, customer, "o_custkey", how=how)
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     """The 100 TB fact layout: partition by a date column; a filtered scan
     must read only matching partitions (PartitionFilters in the plan)."""
