@@ -1510,12 +1510,18 @@ def check_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair at Jaccard ≥ 0.95 is found (the S-curve catches J≥0.95
     w.p. 1-(1-0.95⁴)⁸ ≈ 1-2e-6 per pair; measured 0 missed), (3) output
     ordering id_a < id_b. The anchor n_high_pairs is computed by DuckDB
-    from raw text — a non-vacuous, data-dependent value."""
-    from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs, word_shingles
+    from raw text — a non-vacuous, data-dependent value. The exact-pair
+    anchor reuses dedup_jaccard_pairs (md5-min blocking, the oracle's own
+    formulation) so both engines block identically at every SF."""
+    from ..operators.dedup import minhash_lsh_pairs, word_shingles
 
     docs = t(spark, sf_dir, "documents")
     lsh = minhash_lsh_pairs(docs, threshold=0.3)
-    high = jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    high = (
+        dedup_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.95)
+        .select("id_a", "id_b")
+    )
     sh = docs.select(F.col("doc_id"), word_shingles("text").alias("sh"))
     rejoined = lsh.join(
         sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -1591,12 +1597,17 @@ def check_simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_hamming=6 recalls at least half of the exact J≥0.95 near-dups
     (measured: 18/24 at sf0.01 — bit-vote signatures lose some token-level
     near-dups, the documented trade vs MinHash). DuckDB anchors
-    n_high_pairs from raw text."""
-    from ..operators.dedup import jaccard_pairs, simhash_pairs
+    n_high_pairs from raw text; the exact-pair anchor reuses
+    dedup_jaccard_pairs (md5-min blocking — the oracle's formulation)."""
+    from ..operators.dedup import simhash_pairs
 
     docs = t(spark, sf_dir, "documents")
     sim = simhash_pairs(docs, max_hamming=6)
-    high = jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    high = (
+        dedup_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.95)
+        .select("id_a", "id_b")
+    )
     n_high = _scalar(high, F.count("*"), "n_high_pairs")
     n_missed = _scalar(
         high.join(sim.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"),
