@@ -2212,6 +2212,81 @@ ORDER BY doc_id
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by smoothed TF-IDF — the classic vocabulary
+    weighting, entirely in built-ins. Shuffles: term counts per doc (hash
+    agg), document frequency over distinct (doc, term) pairs, one
+    term-keyed join of the two (both sides term-bucketed — at 100 TB hash
+    the term to 8 bytes first), and a per-doc ranking window (doc_id is
+    the high-cardinality key — full parallelism). Corpus size N broadcasts
+    as a 1-row cross join. Ties break on the term string."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_corpus"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("n") / F.col("len"))
+            * F.log((F.col("n_corpus") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            ieee_round(F.col("tfidf"), 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = (
+    r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents
+), tok AS (
+    SELECT * FROM toks WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS n FROM tok GROUP BY doc_id, term
+), dl AS (
+    SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+    SELECT count(*) AS n_corpus FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term,
+           (tf.n * 1.0 / dl.len) * ln((nd.n_corpus + 1) * 1.0 / (df.df + 1))
+               AS tfidf
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nd
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS rank
+    FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+"""
+    + f"       {sql_ieee_round('tfidf', 6)} AS tfidf\n"
+    + "FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"
+)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (no media table in the driver testdata → deterministic fixture
 # built in-memory; rows-only checks, full pytest coverage in
@@ -3226,6 +3301,7 @@ CATALOG.update(
         ),
         "ngram_counts": Entry(ngram_counts, NGRAM_COUNTS_SQL),
         "clip_outliers": Entry(clip_outliers, CLIP_OUTLIERS_SQL),
+        "tfidf_top_terms": Entry(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     }
 )
 

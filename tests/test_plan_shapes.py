@@ -120,6 +120,23 @@ def test_pack_sequences_no_per_lang_window(spark):
         assert "_chunk" in part, f"per-lang-only window spec: [{part}]"
 
 
+def test_join_hints_respected(spark):
+    """Join-strategy hints are part of the engine's tuning surface: a
+    SHUFFLE_HASH hint must produce ShuffledHashJoin (avoids the sort of
+    SMJ for medium tables), MERGE must produce SortMergeJoin."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    sh = orders.join(
+        customer.hint("shuffle_hash"),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+    mg = orders.join(
+        customer.hint("merge"), orders["o_custkey"] == customer["c_custkey"]
+    )
+    assert "SortMergeJoin" in mg._jdf.queryExecution().executedPlan().toString()
+
+
 def test_no_global_window_in_fact_paths(spark):
     # per-key windows are fine; a Window with an empty partition spec on a
     # fact-sized input funnels everything through one task
