@@ -137,6 +137,20 @@ def test_join_hints_respected(spark):
     assert "SortMergeJoin" in mg._jdf.queryExecution().executedPlan().toString()
 
 
+def test_token_budget_no_per_source_window(spark):
+    """source_token_budget shares pack_sequences' two-pass layout: its
+    fact-sized running-sum window must partition by (source, _chunk)."""
+    import re
+
+    plan = plan_of(spark, "source_token_budget")
+    assert "_chunk" in plan and "BroadcastHashJoin" in plan
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    fact_windows = [part for part, order in specs if "doc_id" in order]
+    assert fact_windows
+    for part in fact_windows:
+        assert "_chunk" in part, f"per-source-only window spec: [{part}]"
+
+
 def test_no_global_window_in_fact_paths(spark):
     # per-key windows are fine; a Window with an empty partition spec on a
     # fact-sized input funnels everything through one task
