@@ -120,6 +120,16 @@ def test_pack_sequences_no_per_lang_window(spark):
         assert "_chunk" in part, f"per-lang-only window spec: [{part}]"
 
 
+def test_aqe_coalesces_small_shuffle(spark):
+    """AQE must coalesce undersized post-shuffle partitions at runtime —
+    the mechanism that makes 'set shuffle partitions high, let AQE shrink'
+    safe advice at 100 TB. Final plan shows AQEShuffleRead coalesced."""
+    df = CATALOG["agg_stats_summary"].spark_fn(spark, SF)
+    df.collect()  # finalize adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan
+
+
 def test_join_hints_respected(spark):
     """Join-strategy hints are part of the engine's tuning surface: a
     SHUFFLE_HASH hint must produce ShuffledHashJoin (avoids the sort of
