@@ -76,6 +76,42 @@ def read_sas(spark: SparkSession, path: str) -> DataFrame:
         ) from exc
 
 
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Line-based text source (one row per line, column ``value``), or one
+    row per file with ``wholetext`` — the raw-corpus ingestion path before
+    any parsing."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """``binaryFile`` source: (path, modificationTime, length, content) —
+    the ingestion path for multimodal payloads (images/audio/video) into
+    opaque binary columns (operators/multimodal.py takes over from here).
+    Not splittable per file; parallelism = file count, so shard large
+    media archives upstream."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan via the external spark-avro module (not in this image —
+    gated exactly like the SAS connector; parquet is the engine's
+    canonical interchange format)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - module not installed
+        raise NotImplementedError(
+            "spark-avro module not on classpath; add org.apache.spark:"
+            "spark-avro or convert to parquet upstream"
+        ) from exc
+
+
 def load_testdata(
     spark: SparkSession, sf_dir: str, *names: str
 ) -> dict[str, DataFrame]:
