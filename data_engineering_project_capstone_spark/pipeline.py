@@ -71,20 +71,35 @@ def run_pipeline(
     star["city"].cache()
     star["airports"].cache()
 
+    fact_obs = None
     for name, df in star.items():
         if name == "travelers":
+            # the fact is the 100 TB table: its validation count is
+            # collected DURING the write (DataFrame.observe), never by
+            # re-scanning the output
+            from .observability import observe_counts
+
+            audited, fact_obs = observe_counts(df, "travelers_write")
             write_parquet(
-                df,
+                audited,
                 f"{out_dir}/{name}",
                 partition_by=("p_arrival_year", "p_arrival_month"),
             )
         else:
             write_parquet(df, f"{out_dir}/{name}")
 
+    # dimensions are broadcast-sized: re-read counts are cheap and also
+    # prove the written files parse
     written = {
-        name: spark.read.parquet(f"{out_dir}/{name}") for name in star
+        name: spark.read.parquet(f"{out_dir}/{name}")
+        for name in star
+        if name != "travelers"
     }
-    return validate_counts(written)
+    counts = validate_counts(written)
+    fact_rows = int(fact_obs.get["n_rows"])
+    assert fact_rows > 0, "travelers fact wrote 0 rows"
+    counts["travelers"] = fact_rows
+    return counts
 
 
 def register_star_views(spark: SparkSession, out_dir: str) -> None:
