@@ -2212,6 +2212,98 @@ ORDER BY doc_id
 """
 
 
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot merge (SCD1 / apply-changes): base table + an ordered
+    change feed (I/U/D with version) → new snapshot, last-write-wins per
+    key. One window over (key ORDER BY version DESC) on base∪changes,
+    keep rank 1, drop tombstones — the standard lakehouse upsert without
+    any table-format dependency. The change feed is derived
+    deterministically from orders (updates reprice 'P' rows, deletes
+    remove keys divisible by 97, inserts append shifted keys) so both
+    engines construct the identical feed."""
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.lit(0).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            # ieee_round before the decimal cast: both engines land on the
+            # same 2dp double, so the decimal conversion can't tie-split
+            ieee_round(F.col("o_totalprice") * 1.1, 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+            F.lit(1).alias("version"),
+            F.lit("U").alias("op"),
+        )
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("decimal(18,2)").alias("price"),
+            F.lit(2).alias("version"),
+            F.lit("D").alias("op"),
+        )
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 89 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.lit(3).alias("version"),
+            F.lit("I").alias("op"),
+        )
+    )
+    feed = base.unionByName(updates).unionByName(deletes).unionByName(inserts)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            F.col("version").cast("long").alias("version"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+CDC_APPLY_CHANGES_SQL = """
+WITH feed AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           0 AS version, 'I' AS op
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor((o_totalprice * 1.1) * 100.0 + 0.5) / 100.0
+                AS DECIMAL(18,2)),
+           1, 'U'
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DECIMAL(18,2)), 2, 'D'
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, CAST(o_totalprice AS DECIMAL(18,2)),
+           3, 'I'
+    FROM orders WHERE o_orderkey % 89 = 0
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC
+    ) AS rn
+    FROM feed
+)
+SELECT o_orderkey, CAST(price AS DOUBLE) AS price,
+       CAST(version AS BIGINT) AS version
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
 def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-dup CLUSTERS are assigned
     as units (split keyed on md5 of the component REPRESENTATIVE's id,
@@ -3360,6 +3452,7 @@ CATALOG.update(
         "clip_outliers": Entry(clip_outliers, CLIP_OUTLIERS_SQL),
         "tfidf_top_terms": Entry(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
         "split_no_leakage": Entry(split_no_leakage, SPLIT_NO_LEAKAGE_SQL),
+        "cdc_apply_changes": Entry(cdc_apply_changes, CDC_APPLY_CHANGES_SQL),
     }
 )
 

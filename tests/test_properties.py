@@ -113,3 +113,34 @@ def test_sessionize_invariants(spark, gaps):
     spans = sorted((r["session_start"], r["session_end"]) for r in sessions)
     for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
         assert e1 < s2
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_token_budget_semantics(spark, toks):
+    """source_token_budget's gate (via chunked_running_offset): kept docs
+    are a PREFIX of the hash order, their total stays ≤ budget, and the
+    first excluded doc would have pushed it over."""
+    from data_engineering_project_capstone_spark.operators.packing import (
+        chunked_running_offset,
+    )
+    from pyspark.sql import functions as F
+
+    budget = 800
+    rows = [(i, "s", n, f"{i:032x}") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok", "h"])
+    cum = chunked_running_offset(df, "source", "h", "doc_id", "n_tok", out_col="cum")
+    kept = sorted(
+        (r["doc_id"], r["n_tok"], r["cum"])
+        for r in cum.filter(F.col("cum") + F.col("n_tok") <= budget).collect()
+    )
+    # hash order here == doc_id order (h is the zero-padded id)
+    total = 0
+    expect = []
+    for i, n in enumerate(toks):
+        if total + n <= budget:
+            expect.append((i, n, total))
+        total += n  # exclusion doesn't reset the running offset
+    assert kept == expect
