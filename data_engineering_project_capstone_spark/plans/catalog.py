@@ -2212,6 +2212,42 @@ ORDER BY doc_id
 """
 
 
+def ansi_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe conversions: the engine keeps ANSI ON (a bad cast
+    must not silently corrupt, and a 12-hour job must not die on one bad
+    row) — ``try_cast``/``try_divide`` are the per-expression escape
+    hatches. '1-URGENT'-style strings: full-string cast → NULL (both
+    engines reject trailing garbage), prefix cast → digit; division by a
+    NULLed denominator → NULL, never an exception or ±inf."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+        F.try_divide(F.col("o_totalprice"), F.lit(0)).alias("div_zero"),
+        ieee_round(
+            F.try_divide(
+                F.col("o_totalprice"),
+                F.substring("o_orderpriority", 1, 1).cast("int"),
+            ),
+            4,
+        ).alias("per_priority"),
+    ).orderBy("o_orderkey")
+
+
+ANSI_SAFE_CASTS_SQL = f"""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_num,
+       CAST(NULL AS DOUBLE) AS div_zero,
+       {sql_ieee_round(
+           "o_totalprice / CAST(substr(o_orderpriority, 1, 1) AS INT)", 4
+       )} AS per_priority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot merge (SCD1 / apply-changes): base table + an ordered
     change feed (I/U/D with version) → new snapshot, last-write-wins per
@@ -3453,6 +3489,7 @@ CATALOG.update(
         "tfidf_top_terms": Entry(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
         "split_no_leakage": Entry(split_no_leakage, SPLIT_NO_LEAKAGE_SQL),
         "cdc_apply_changes": Entry(cdc_apply_changes, CDC_APPLY_CHANGES_SQL),
+        "ansi_safe_casts": Entry(ansi_safe_casts, ANSI_SAFE_CASTS_SQL),
     }
 )
 
