@@ -2248,6 +2248,43 @@ ORDER BY o_orderkey
 """
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity join (entity resolution): near-matching
+    part names by Levenshtein ≤ 3. The scale shape: (1) collapse to the
+    DISTINCT value domain first — edit distance runs on unique strings,
+    never on row duplicates; (2) block on the first token so the
+    quadratic stays inside blocks (same family as every dedup operator
+    here); (3) JVM-side ``levenshtein`` — no UDF."""
+    part = t(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("s")).distinct().withColumn(
+        "blk", F.split(F.col("s"), " ").getItem(0)
+    )
+    a = names.select("blk", F.col("s").alias("name_a"))
+    b = names.select("blk", F.col("s").alias("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", F.col("dist").cast("long").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH names AS (
+    SELECT DISTINCT p_name AS s FROM part
+), b AS (
+    SELECT s, string_split(s, ' ')[1] AS blk FROM names
+)
+SELECT a.s AS name_a, c.s AS name_b,
+       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.s < c.s
+WHERE levenshtein(a.s, c.s) <= 3
+ORDER BY name_a, name_b
+"""
+
+
 def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot merge (SCD1 / apply-changes): base table + an ordered
     change feed (I/U/D with version) → new snapshot, last-write-wins per
@@ -3490,6 +3527,7 @@ CATALOG.update(
         "split_no_leakage": Entry(split_no_leakage, SPLIT_NO_LEAKAGE_SQL),
         "cdc_apply_changes": Entry(cdc_apply_changes, CDC_APPLY_CHANGES_SQL),
         "ansi_safe_casts": Entry(ansi_safe_casts, ANSI_SAFE_CASTS_SQL),
+        "fuzzy_name_pairs": Entry(fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     }
 )
 
