@@ -2248,6 +2248,71 @@ ORDER BY o_orderkey
 """
 
 
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
+    merges an old extract (no priority column) with a new extract (added
+    column) — position-based UNION would silently misalign; by-name fills
+    the missing column with NULL. The batch-append pattern every evolving
+    warehouse needs."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return (
+        old.unionByName(new, allowMissingColumns=True)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+UNION_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM (
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+)
+ORDER BY o_orderkey
+"""
+
+
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (posexplode): token position survives the
+    flatten — the structure chunking/windowing operators depend on.
+    DuckDB has no WITH ORDINALITY; the oracle zips positions in via
+    list_transform(range(...)) before unnesting."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )
+
+
+POSEXPLODE_TOKENS_SQL = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    FROM documents WHERE doc_id < 50
+), z AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, len(toks) + 1),
+               i -> {'pos': i - 1, 'token': toks[i]})) AS e
+    FROM t
+)
+SELECT doc_id, CAST(e.pos AS BIGINT) AS pos, e.token AS token
+FROM z WHERE e.token <> ''
+ORDER BY doc_id, pos
+"""
+
+
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string-similarity join (entity resolution): near-matching
     part names by Levenshtein ≤ 3. The scale shape: (1) collapse to the
@@ -3528,6 +3593,10 @@ CATALOG.update(
         "cdc_apply_changes": Entry(cdc_apply_changes, CDC_APPLY_CHANGES_SQL),
         "ansi_safe_casts": Entry(ansi_safe_casts, ANSI_SAFE_CASTS_SQL),
         "fuzzy_name_pairs": Entry(fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
+        "union_schema_evolution": Entry(
+            union_schema_evolution, UNION_SCHEMA_EVOLUTION_SQL
+        ),
+        "posexplode_tokens": Entry(posexplode_tokens, POSEXPLODE_TOKENS_SQL),
     }
 )
 
