@@ -112,12 +112,19 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
-                h = hashlib.sha256(bytes(p)).digest()
+                # counter-mode hash stream: one sha256 block per 8 floats,
+                # so the output honors `dim` exactly (a single digest is
+                # 32 bytes = 8 floats — silently truncating to that was a
+                # bug for the default dim=16)
+                stream = b"".join(
+                    hashlib.sha256(bytes(p) + bytes([blk])).digest()
+                    for blk in range((dim * 4 + 31) // 32)
+                )
                 feats.append(
                     [
-                        int.from_bytes(h[4 * i : 4 * i + 4], "little")
+                        int.from_bytes(stream[4 * i : 4 * i + 4], "little")
                         / float(2**32)
-                        for i in range(min(dim, len(h) // 4))
+                        for i in range(dim)
                     ]
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})

@@ -2248,6 +2248,41 @@ ORDER BY o_orderkey
 """
 
 
+def check_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of the multimodal stages (no media table
+    in the testdata → the deterministic 64-row fixture): decode yields
+    one row per payload with positive dimensions and the true payload
+    byte length; the featurizer emits a 16-dim vector in [0,1) per
+    media id. The fixture size is code-defined, so the oracle anchors it
+    as a constant."""
+    from ..operators.multimodal import decode_media, extract_features, media_fixture
+
+    _ensure_session_conf(spark)
+    media = media_fixture(spark)
+    dec = decode_media(media)
+    feats = extract_features(media)
+    bad_dims = dec.filter(
+        (F.col("width") <= 0) | (F.col("height") <= 0) | (F.col("n_frames") <= 0)
+        | (F.col("payload_bytes") <= 0)
+    )
+    bad_feats = feats.filter(
+        (F.size("feature") != 16)
+        | F.exists("feature", lambda x: (x < 0) | (x >= 1))
+    )
+    return (
+        _scalar(dec, F.count("*"), "n_media")
+        .crossJoin(_scalar(bad_dims, F.count("*"), "n_bad_dims"))
+        .crossJoin(_scalar(bad_feats, F.count("*"), "n_bad_features"))
+    )
+
+
+CHECK_MULTIMODAL_SQL = """
+SELECT CAST(64 AS BIGINT) AS n_media,
+       CAST(0 AS BIGINT) AS n_bad_dims,
+       CAST(0 AS BIGINT) AS n_bad_features
+"""
+
+
 def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
     merges an old extract (no priority column) with a new extract (added
@@ -3597,6 +3632,7 @@ CATALOG.update(
             union_schema_evolution, UNION_SCHEMA_EVOLUTION_SQL
         ),
         "posexplode_tokens": Entry(posexplode_tokens, POSEXPLODE_TOKENS_SQL),
+        "check_multimodal": Entry(check_multimodal, CHECK_MULTIMODAL_SQL),
     }
 )
 

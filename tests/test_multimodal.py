@@ -42,7 +42,9 @@ def test_extract_features_deterministic(spark, media):
     a = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
     b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
     assert a == b
-    assert all(len(v) == 8 and all(0 <= x <= 1 for x in v) for v in a.values())
+    # the documented default dim=16 (a single sha256 digest is only 8
+    # floats — the featurizer extends the hash stream to honor dim)
+    assert all(len(v) == 16 and all(0 <= x <= 1 for x in v) for v in a.values())
 
 
 def test_frame_sample(spark, media):

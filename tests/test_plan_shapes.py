@@ -72,7 +72,11 @@ def test_hash_aggregate_partial_final(spark):
 def test_no_python_udf_in_hot_paths(spark):
     """Every catalog plan must stay JVM-side (whole-stage codegen) —
     Python only in the explicitly-gated multimodal stubs (mapInPandas)."""
-    allowed_python = {"multimodal_decode", "multimodal_features"}
+    allowed_python = {
+        "multimodal_decode",
+        "multimodal_features",
+        "check_multimodal",  # invariant check over the mapInPandas stages
+    }
     for name, entry in CATALOG.items():
         if name in allowed_python:
             continue
