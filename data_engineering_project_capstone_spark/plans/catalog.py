@@ -2311,6 +2311,54 @@ SELECT CAST(64 AS BIGINT) AS n_media,
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (the cheap perplexity proxy):
+    Shannon entropy of the per-doc character distribution — gibberish and
+    boilerplate sit at the distribution tails. Shape at scale: char
+    explode (flatMap) → per-(doc, char) counts with map-side combine →
+    per-doc entropy agg; ~alphabet-size rows per doc after the first
+    combine."""
+    docs = t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    p = F.col("n") / F.col("len")
+    ent = counts.join(totals, "doc_id").groupBy("doc_id").agg(
+        (-F.sum(p * F.log2(p))).alias("_h"),
+        F.max("len").alias("n_chars_counted"),
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n_chars_counted").cast("long").alias("n_chars_counted"),
+        ieee_round(F.col("_h"), 4).alias("entropy"),
+        (F.col("_h") >= 3.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM documents
+), f AS (
+    SELECT doc_id, c, count(*) AS n FROM chars WHERE c <> '' GROUP BY doc_id, c
+), t AS (
+    SELECT doc_id, sum(n) AS len FROM f GROUP BY doc_id
+), e AS (
+    SELECT f.doc_id,
+           -sum((n * 1.0 / len) * log2(n * 1.0 / len)) AS h,
+           max(len) AS n_chars_counted
+    FROM f JOIN t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+)
+SELECT doc_id, CAST(n_chars_counted AS BIGINT) AS n_chars_counted,
+       floor(h * 10000 + 0.5) / 10000 AS entropy,
+       h >= 3.0 AS keep
+FROM e
+ORDER BY doc_id
+"""
+
+
 def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: ``unionByName(allowMissingColumns=True)``
     merges an old extract (no priority column) with a new extract (added
@@ -3661,6 +3709,7 @@ CATALOG.update(
         ),
         "posexplode_tokens": Entry(posexplode_tokens, POSEXPLODE_TOKENS_SQL),
         "check_multimodal": Entry(check_multimodal, CHECK_MULTIMODAL_SQL),
+        "text_char_entropy": Entry(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     }
 )
 
