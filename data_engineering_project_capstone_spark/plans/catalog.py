@@ -1595,8 +1595,8 @@ def check_simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible contract of dedup_simhash: emitted pairs respect the
     hamming bound and ordering (violations = 0), and SimHash at
     max_hamming=6 recalls at least half of the exact J≥0.95 near-dups
-    (measured: 18/24 at sf0.01 — bit-vote signatures lose some token-level
-    near-dups, the documented trade vs MinHash). DuckDB anchors
+    (measured: ~75-88% across SFs — bit-vote signatures lose some
+    token-level near-dups, the documented trade vs MinHash). DuckDB anchors
     n_high_pairs from raw text; the exact-pair anchor reuses
     dedup_jaccard_pairs (md5-min blocking — the oracle's formulation)."""
     from ..operators.dedup import simhash_pairs
