@@ -144,3 +144,46 @@ def test_token_budget_semantics(spark, toks):
             expect.append((i, n, total))
         total += n  # exclusion doesn't reset the running offset
     assert kept == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),          # part
+            st.integers(min_value=0, max_value=2**32 - 1),  # hash material
+            st.integers(min_value=1, max_value=500),        # value
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(**SETTINGS)
+def test_chunked_running_offset_equals_single_window(spark, rows):
+    """The two-pass chunked layout must be bit-identical to the plain
+    per-part running sum for ARBITRARY hash orderings (not just ordered
+    ids) — chunk boundaries may fall anywhere in the order."""
+    from data_engineering_project_capstone_spark.operators.packing import (
+        chunked_running_offset,
+    )
+
+    data = [
+        (i, part, f"{h:08x}" + f"{i:024x}", v)
+        for i, (part, h, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "part", "h", "n"])
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in chunked_running_offset(
+            df, "part", "h", "doc_id", "n", out_col="cum"
+        ).collect()
+    }
+    # reference: python cumsum per part in (h, doc_id) order
+    expect = {}
+    for part in {p for _, p, _, _ in data}:
+        acc = 0
+        for doc_id, _, h, v in sorted(
+            (d for d in data if d[1] == part), key=lambda d: (d[2], d[0])
+        ):
+            expect[doc_id] = acc
+            acc += v
+    assert got == expect
