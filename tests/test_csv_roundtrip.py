@@ -83,3 +83,31 @@ def test_csv_schema_projection_pushdown(spark, staged_paths):
     ]
     # null handling survives the round trip (empty CSV cell → null)
     assert df.filter(F.col("iata_code").isNull()).count() >= 1
+
+
+def test_csv_permissive_survives_malformed_rows(spark, tmp_path):
+    """PERMISSIVE mode (the reader default here): a malformed row nulls
+    the unparseable cells instead of failing the job — one bad row in
+    100 TB must not kill a 12-hour ingest. The row count is preserved."""
+    from pyspark.sql import types as T
+
+    from data_engineering_project_capstone_spark.sources.readers import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,amount,label\n"
+        "1,10.5,ok\n"
+        "2,NOT_A_NUMBER,bad-amount\n"
+        "3,30.0,ok\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    rows = {r["id"]: r for r in read_csv(spark, str(p), schema).collect()}
+    assert len(rows) == 3  # nothing dropped, nothing thrown
+    assert rows[2]["amount"] is None  # unparseable cell nulled
+    assert rows[1]["amount"] == 10.5 and rows[3]["amount"] == 30.0
