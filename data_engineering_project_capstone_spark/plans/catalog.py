@@ -1378,15 +1378,33 @@ WHERE {sql_ieee_round(
 # both are memoized per (session, sf_dir): labels are already
 # MATERIALIZED by localCheckpoint — reuse is free and bit-identical
 # (verified by the determinism sweep, which double-runs every entry).
-_CC_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+# The memo lives as an attribute ON the owning SparkSession object, not
+# in a module-level dict: a fresh session can never collide with a
+# garbage-collected one the way a recycled id() could (a stopped
+# session's localCheckpoint'ed plans are unusable and must never be
+# served to its successor), and the cache is exactly one ordinary
+# reference cycle (session → memo → DataFrame → session) that the GC
+# reaps with the session — no unbounded growth in long-lived processes.
+# (A module-level WeakKeyDictionary cannot express this: its values hold
+# their own keys alive through df.sparkSession.)
+_CC_MEMO_ATTR = "_spark_capstone_cc_memo"
+
+
+class _SessionMemo(dict):
+    """Plain dict that supports weak references (tests observe reaping)."""
+
+    __slots__ = ("__weakref__",)
 
 
 def _minhash_components(spark: SparkSession, sf_dir: str):
     from ..operators.clusters import connected_components
     from ..operators.dedup import minhash_lsh_pairs
 
-    key = (id(spark), sf_dir)
-    if key not in _CC_MEMO:
+    per_session: _SessionMemo | None = getattr(spark, _CC_MEMO_ATTR, None)
+    if per_session is None:
+        per_session = _SessionMemo()
+        setattr(spark, _CC_MEMO_ATTR, per_session)
+    if sf_dir not in per_session:
         docs = t(spark, sf_dir, "documents")
         pairs = minhash_lsh_pairs(docs, threshold=0.3)
         # near-dup graphs are shallow: 4 fixed propagation rounds, no
@@ -1394,8 +1412,8 @@ def _minhash_components(spark: SparkSession, sf_dir: str):
         comps = connected_components(
             pairs, max_iterations=4, check_convergence=False
         )
-        _CC_MEMO[key] = (pairs, comps)
-    return _CC_MEMO[key]
+        per_session[sf_dir] = (pairs, comps)
+    return per_session[sf_dir]
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
