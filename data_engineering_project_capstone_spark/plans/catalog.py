@@ -1694,13 +1694,23 @@ def _ann_check(
     prunes candidates, it cannot invent similarity). With
     ``recall_floor`` (deterministic methods only — not k-means IVF), also
     require the exact top-1 neighbor to appear in the approximate top-k
-    for at least that many queries."""
+    for at least that many queries.
+
+    The exact baseline the invariants are measured against is itself
+    cross-engine anchored: ``exact_top1_id_sum`` / ``exact_top1_cos_sum``
+    summarize the per-query exact top-1 neighbors, and the DuckDB oracle
+    recomputes BOTH by brute-force cosine SQL — so a wrong exact baseline
+    (not just a violated invariant) fails the driver hash gate."""
     from ..operators.similarity import cosine_topk
 
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     exact1 = cosine_topk(emb, q, k=1).select(
         "query_id", "neighbor_id", F.col("cos").alias("best_cos")
+    )
+    anchors = exact1.agg(
+        F.sum("neighbor_id").cast("long").alias("exact_top1_id_sum"),
+        ieee_round(F.sum("best_cos"), 6).alias("exact_top1_cos_sum"),
     )
     joined = approx.join(exact1.select("query_id", "best_cos"), "query_id")
     n_queries = _scalar(q, F.count("*"), "n_queries")
@@ -1709,10 +1719,13 @@ def _ann_check(
         joined.filter(F.col("cos") > F.col("best_cos")), F.count("*"), "n_beats_exact"
     )
     out = (
-        n_queries.crossJoin(n_rows)
+        n_queries.crossJoin(anchors)
+        .crossJoin(n_rows)
         .crossJoin(n_beats)
         .select(
             "n_queries",
+            "exact_top1_id_sum",
+            "exact_top1_cos_sum",
             (F.col("_rows") == F.col("n_queries") * k).alias("rows_complete"),
             "n_beats_exact",
         )
@@ -1723,6 +1736,8 @@ def _ann_check(
         )
         out = out.crossJoin(_scalar(hits, F.count("*"), "_hits")).select(
             "n_queries",
+            "exact_top1_id_sum",
+            "exact_top1_cos_sum",
             "rows_complete",
             "n_beats_exact",
             (F.col("_hits") >= recall_floor).alias("recall_floor_ok"),
@@ -1735,7 +1750,9 @@ def check_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, no approximate cos above the exact optimum, and (hyperplanes
     are deterministic, so recall is a fixed number, measured 2-4 of 5
     across SFs) the exact top-1 appears in the approximate top-3 for at
-    least one query. n_queries anchored by DuckDB."""
+    least one query. n_queries AND the exact-top-1 baseline (id/cos sums)
+    are recomputed by DuckDB brute-force cosine SQL, so the floor is
+    measured against a cross-engine-verified exact set."""
     from ..operators.similarity import lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1745,7 +1762,8 @@ def check_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def check_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible contract of similarity_ivf_topk — invariants that
-    hold under k-means nondeterminism (completeness + can't-beat-exact)."""
+    hold under k-means nondeterminism (completeness + can't-beat-exact),
+    measured against a DuckDB-recomputed exact top-1 baseline."""
     from ..operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1753,19 +1771,51 @@ def check_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_check(spark, sf_dir, approx, k=3)
 
 
-CHECK_ANN_SQL = """
-SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
-           AS n_queries,
-       TRUE AS rows_complete,
-       CAST(0 AS BIGINT) AS n_beats_exact
+# The oracle recomputes the exact top-1 neighbor per probe query by
+# brute-force cosine (same ranking rule as similarity_topk: rounded cos
+# desc, neighbor_id asc) and aggregates it into the two anchor columns —
+# the invariant booleans/zeros are the expected constants, but the
+# baseline they are measured against is genuinely cross-engine verified.
+_ANN_EXACT_TOP1_CTE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           {sql_ieee_round(_COS_SQL, 6)} AS cos
+    FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+top1 AS (
+    SELECT query_id, neighbor_id, cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank = 1
+)
 """
 
-CHECK_ANN_RECALL_SQL = """
+CHECK_ANN_SQL = f"""
+{_ANN_EXACT_TOP1_CTE}
 SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
            AS n_queries,
+       CAST(sum(neighbor_id) AS BIGINT) AS exact_top1_id_sum,
+       {sql_ieee_round('sum(cos)', 6)} AS exact_top1_cos_sum,
+       TRUE AS rows_complete,
+       CAST(0 AS BIGINT) AS n_beats_exact
+FROM top1
+"""
+
+CHECK_ANN_RECALL_SQL = f"""
+{_ANN_EXACT_TOP1_CTE}
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
+           AS n_queries,
+       CAST(sum(neighbor_id) AS BIGINT) AS exact_top1_id_sum,
+       {sql_ieee_round('sum(cos)', 6)} AS exact_top1_cos_sum,
        TRUE AS rows_complete,
        CAST(0 AS BIGINT) AS n_beats_exact,
        TRUE AS recall_floor_ok
+FROM top1
 """
 
 
