@@ -50,18 +50,29 @@ def convert_sas_to_parquet(
         def _reader(path: str, cs: int):
             return pd.read_sas(path, format="sas7bdat", chunksize=cs, iterator=True)
 
+    # Stream into a sibling temp file and os.replace() onto the final name
+    # only after the writer closes cleanly: a crash mid-conversion must
+    # never leave a truncated parquet at the final path, because
+    # ingest_sas's mtime freshness check would then treat the partial file
+    # as a valid cache hit forever after.
+    tmp_path = f"{parquet_path}.tmp-{os.getpid()}"
     writer: pq.ParquetWriter | None = None
     try:
         for chunk in _reader(sas_path, chunksize):
             tbl = pa.Table.from_pandas(chunk, preserve_index=False)
             if writer is None:
-                writer = pq.ParquetWriter(parquet_path, tbl.schema)
+                writer = pq.ParquetWriter(tmp_path, tbl.schema)
             writer.write_table(tbl)
         if writer is None:
             raise ValueError(f"SAS file produced no rows: {sas_path}")
+        writer.close()
+        writer = None
+        os.replace(tmp_path, parquet_path)
     finally:
         if writer is not None:
             writer.close()
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
     return parquet_path
 
 
