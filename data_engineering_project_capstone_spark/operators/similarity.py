@@ -72,12 +72,35 @@ def _hyperplane(dim: int, plane: int) -> Column:
     )
 
 
+# Expression budget for the unrolled per-bit fold below: each bit expands to
+# a zip_with + aggregate over ``dim`` elements, so codegen cost scales with
+# bits × dim. 4 bands × 8 bits × dim 16 (the defaults) is measured-fine;
+# past this budget Spark falls off whole-stage codegen into interpreted
+# evaluation and compile times balloon.
+LSH_EXPR_BUDGET = 4096
+
+
 def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> Column:
     """Sign-bit bucket key: bit p = sign(<vec, hyperplane_{p+plane_offset}>).
 
     ``plane_offset`` selects an independent hyperplane family — banded
     callers (embedding dedup) use offset ``band*bits`` so each band hashes
-    with distinct planes."""
+    with distinct planes.
+
+    Raises ``ValueError`` when ``bits * dim`` exceeds ``LSH_EXPR_BUDGET``:
+    the per-bit fold is unrolled into the plan, and oversized configs hit
+    Catalyst codegen limits (the same failure mode the banded-minhash
+    docstring in dedup.py warns about). For high-dim / many-bit configs,
+    restructure as posexplode(vec) → join against a broadcast (plane, j,
+    component) table → groupBy(id, plane) sum → pivot bits, which keeps
+    the work row-shaped instead of expression-shaped."""
+    if bits * dim > LSH_EXPR_BUDGET:
+        raise ValueError(
+            f"lsh_bucket: bits*dim = {bits * dim} exceeds the codegen "
+            f"expression budget ({LSH_EXPR_BUDGET}). Use the explode + "
+            "broadcast-plane-join + groupBy formulation for this config "
+            "(see docstring)."
+        )
     vd = F.transform(vec, lambda x: x.cast("double"))
     key = F.lit(0).cast("long")
     for p in range(bits):

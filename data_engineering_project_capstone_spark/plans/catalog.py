@@ -3795,6 +3795,95 @@ CATALOG.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# Driver-window rotation (round 4)
+#
+# The correctness driver evaluates only the FIRST 50 entries of ``queries()``
+# in registration order. Rounds 1-3 all checked the same original first 50
+# (CORRECTNESS_r01-r03: 45 full hash-match, 5 rows-only, 0 mismatches); the
+# 54 entries registered since round 1 never received a driver row. Rotate 50
+# of those to the front so CORRECTNESS_r04 covers them; the proven 50 keep
+# their record from r01-r03 and move behind the cutoff.
+#
+# Leading the window: the six ``check_*`` invariant entries — they carry
+# DuckDB-anchored oracles for exactly the five families the driver has been
+# recording as ``err: no_oracle`` (MinHash, SimHash, LSH/IVF top-k, cluster
+# resolution) plus the multimodal pipeline, converting those gaps into
+# driver-verifiable rows.
+#
+# Held out for the round-5 window (4 = 54 - 50): ``multimodal_decode`` /
+# ``multimodal_features`` (binary media; cannot hash-check against DuckDB —
+# ``check_multimodal`` is their driver-visible proxy) and
+# ``date_arithmetic`` / ``string_regexp`` (single-table scalar surfaces,
+# pinned by the local oracle twin in tests/test_oracle_differential.py).
+# The entry → proving-round ledger lives in COVERAGE.md §Driver ledger.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW_R4 = [
+    # invariant checks for the five standing no_oracle rows + multimodal
+    "check_minhash_containment",
+    "check_simhash_invariants",
+    "check_lsh_topk",
+    "check_ivf_topk",
+    "check_cluster_consistency",
+    "check_multimodal",
+    # LLM-data-pipeline families
+    "pack_sequences",
+    "source_token_budget",
+    "split_no_leakage",
+    "decontaminate",
+    "tfidf_top_terms",
+    "pii_redact",
+    "cdc_apply_changes",
+    "fuzzy_name_pairs",
+    "text_gopher_filters",
+    "mix_weights",
+    "chunk_documents",
+    "text_dup_bigrams",
+    "token_histogram",
+    "ngram_counts",
+    "clip_outliers",
+    "text_char_entropy",
+    "sample_stratified",
+    "posexplode_tokens",
+    # SQL-surface widening
+    "subquery_scalar_avg",
+    "subquery_correlated_avg",
+    "agg_having",
+    "set_intersect",
+    "window_ntile_pctrank",
+    "window_moving_avg",
+    "agg_stats_funcs",
+    "agg_conditional",
+    "split_assign",
+    "profile_columns",
+    "gapfill_resample",
+    "large_order_customers",
+    "recursive_month_spine",
+    "window_value_functions",
+    "agg_string_concat",
+    "join_null_safe",
+    "array_higher_order",
+    "agg_distinct_twophase",
+    "window_range_frame",
+    "agg_boolean_funcs",
+    "events_session_window",
+    "ansi_safe_casts",
+    "union_schema_evolution",
+    "array_explode_agg",
+    "agg_grouping_sets",
+    "window_lag_lead",
+]
+assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
+CATALOG = {
+    name: CATALOG[name]
+    for name in (
+        *_DRIVER_WINDOW_R4,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R4)),
+    )
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.spark_fn for name, e in CATALOG.items()}
 

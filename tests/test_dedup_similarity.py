@@ -188,3 +188,17 @@ def test_cosine_topk_deterministic(spark, embeddings):
     assert [r["neighbor_id"] for r in a] == [r["neighbor_id"] for r in b]
     cs = [r["cos"] for r in a]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_lsh_bucket_codegen_guard(spark):
+    """Oversized bits×dim configs must fail fast with the fallback named,
+    not silently fall off whole-stage codegen (VERDICT r2 advisory)."""
+    from data_engineering_project_capstone_spark.operators.similarity import (
+        LSH_EXPR_BUDGET,
+        lsh_bucket,
+    )
+
+    with pytest.raises(ValueError, match="expression budget"):
+        lsh_bucket(F.col("embedding"), dim=LSH_EXPR_BUDGET, bits=2)
+    # at the budget boundary the unrolled fold is still allowed
+    lsh_bucket(F.col("embedding"), dim=LSH_EXPR_BUDGET // 8, bits=8)
