@@ -48,13 +48,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with its TIMESTAMP(NANOS) column converted to a usable
-    timestamp (read as long ns via nanosAsLong, truncated to micros — the
-    same truncation DuckDB applies)."""
+    """events with ``ts`` normalized to TIMESTAMP (UTC session tz).
+
+    The testdata has shipped ``ts`` two ways across rounds: TIMESTAMP(NANOS)
+    (which nanosAsLong surfaces as epoch-ns BIGINT) and plain timestamp[us]
+    (read as TIMESTAMP_NTZ). Branch on the *actual* read schema so both
+    layouts produce the identical TIMESTAMP column DuckDB sees:
+
+    - LongType  → epoch ns → ``timestamp_micros(ts div 1000)`` (the same
+      micros truncation DuckDB applies to nanos).
+    - timestamp / timestamp_ntz → cast to TIMESTAMP; with the session tz
+      pinned to UTC the wall-clock is interpreted as UTC, matching the
+      oracle exactly.
+    """
+    from pyspark.sql import types as T
+
     ev = t(spark, sf_dir, "events")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def sql_ieee_round(expr: str, scale: int = 2) -> str:
@@ -3875,11 +3888,81 @@ _DRIVER_WINDOW_R4 = [
     "window_lag_lead",
 ]
 assert len(_DRIVER_WINDOW_R4) == 50, len(_DRIVER_WINDOW_R4)
+
+from .catalog_r5 import R5_ENTRIES  # noqa: E402  (needs Entry/t defined above)
+
+CATALOG.update(R5_ENTRIES)
+
+# Round-5 driver window. The driver evaluates queries()[:50] in
+# registration order; COVERAGE.md maps every entry to the round that
+# proved it. This window = (a) the events family, whose pre-r4 green
+# rows predate the testdata regeneration that switched events.ts from
+# TIMESTAMP(NANOS) to timestamp[us] (the r4 regression this round
+# fixes), (b) the four entries that have never had a driver row,
+# (c) the ten new round-5 entries, (d) re-confirmation of the highest-
+# value r3-window entries against the regenerated data.
+_DRIVER_WINDOW_R5 = [
+    # (a) events family — regression re-verification
+    "events_hourly",
+    "events_json",
+    "events_sessionize",
+    "events_json_struct",
+    "events_session_window",
+    "gapfill_resample",
+    "join_asof_events",
+    # (b) never driver-checked
+    "date_arithmetic",
+    "string_regexp",
+    "multimodal_decode",
+    "multimodal_features",
+    # (c) new round-5 entries
+    "text_dedup_tokens",
+    "dup_passage_docs",
+    "token_bigram_pmi",
+    "bm25_scores",
+    "doc_length_percentiles",
+    "dedup_incremental",
+    "sample_hash_quota",
+    "skew_salted_agg",
+    "quality_curriculum",
+    "embedding_quantize",
+    # (d) r3-window re-confirmation on regenerated testdata
+    "q1_avg_price_by_nation",
+    "q2_count_by_nation_region",
+    "q3_pct_of_total",
+    "join_multiway_revenue",
+    "dedup_exact",
+    "dedup_first_wins",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "topk_per_group",
+    "agg_stats_summary",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_bpe_count",
+    "doc_fingerprint",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_cube",
+    "unpivot_part",
+    "agg_percentiles",
+    "window_running_sum",
+    "join_range_bucketed",
+    "merge_scd2",
+    "agg_distinct_count",
+    "agg_approx",
+    "string_functions",
+    "surrogate_ids",
+    "proj_filter",
+]
+assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R4,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R4)),
+        *_DRIVER_WINDOW_R5,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R5)),
     )
 }
 

@@ -17,26 +17,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet schema as Spark sees it with nanosAsLong (ts: long = epoch ns)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """File-stream sources need a declared schema. The testdata's ts column
+    has shipped both as TIMESTAMP(NANOS) (epoch-ns BIGINT under nanosAsLong)
+    and as timestamp[us]; read the real schema from the batch reader so the
+    stream always matches the files on disk."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 _STAGE_ROOT: str | None = None  # process-lifetime symlink staging root
 
 
 def _with_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    """Normalize ts to TIMESTAMP — same branch as plans.catalog.events_table."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(
@@ -76,7 +72,7 @@ def read_events_stream(
     for i in range(copies):
         os.symlink(f"{sf_dir}/events.parquet", os.path.join(stage, f"events_{i}.parquet"))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
         .format("parquet")
         .load(stage)
     )
