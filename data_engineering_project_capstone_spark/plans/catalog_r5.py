@@ -1,0 +1,674 @@
+"""Round-5 catalog entries — deeper LLM-data-pipeline surface.
+
+Same contract as ``plans.catalog``: every entry is a PySpark plan paired
+with DuckDB oracle SQL over the identical parquet, column names aliased
+identically on both sides, floats rounded through the shared IEEE helper
+before hashing. See the ``catalog`` module docstring for the full
+cross-engine parity rules.
+
+Families added here (all on the driver-provided ``documents`` /
+``embeddings`` / ``lineitem`` tables):
+
+- intra-doc repetition removal (``text_dedup_tokens``)
+- cross-doc duplicate-passage detection (``dup_passage_docs``)
+- collocation mining via PMI (``token_bigram_pmi``)
+- BM25 retrieval scoring (``bm25_scores``)
+- exact length quantiles (``doc_length_percentiles``)
+- incremental corpus dedup (``dedup_incremental``)
+- fixed-quota deterministic sampling (``sample_hash_quota``)
+- skew-salted aggregation (``skew_salted_agg``)
+- curriculum quality bucketing (``quality_curriculum``)
+- int8 embedding quantization error (``embedding_quantize``)
+
+Scale notes sit on each entry: where the shuffle is, what broadcasts,
+why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ieee_round
+from .catalog import Entry, sql_ieee_round, t
+
+def _toks():
+    """Whitespace tokens of the lowercased doc text. Built lazily — Column
+    construction needs an active SparkContext, which doesn't exist at
+    import time."""
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# 1. Intra-document repetition removal
+# ---------------------------------------------------------------------------
+
+
+def text_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc token dedup keeping first occurrence order — the
+    cheapest self-repetition cleaner (drops looped boilerplate tokens
+    before expensive cross-doc dedup).
+
+    Scale: ``array_distinct`` is a pure per-row expression — zero
+    shuffle, trivially parallel at any corpus size. Spark's
+    ``array_distinct`` keeps first-occurrence order by contract; the
+    oracle reconstructs the same order explicitly (min position per
+    token) rather than trusting DuckDB's ``list_distinct`` ordering.
+    """
+    docs = t(spark, sf_dir, "documents")
+    deduped = F.array_distinct(_toks())
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        F.size(deduped).cast("long").alias("n_unique"),
+        F.concat_ws(" ", deduped).alias("dedup_text"),
+    ).orderBy("doc_id")
+
+
+TEXT_DEDUP_TOKENS_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+           generate_subscripts({_SQL_TOKS}, 1) AS pos
+    FROM documents
+), firsts AS (
+    SELECT doc_id, tok, min(pos) AS first_pos
+    FROM tok GROUP BY doc_id, tok
+), stats AS (
+    SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       string_agg(f.tok, ' ' ORDER BY f.first_pos) AS dedup_text
+FROM stats s JOIN firsts f ON s.doc_id = f.doc_id
+GROUP BY s.doc_id, s.n_tokens
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Cross-document duplicate-passage detection
+# ---------------------------------------------------------------------------
+
+
+def dup_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of its distinct 5-gram shingles that also occur
+    in at least one OTHER document — the passage-level contamination
+    score used to catch boilerplate/templated text that exact and
+    near-dup doc-level passes both miss.
+
+    Scale: explode distinct shingles per doc (corpus-linear), one
+    combined count shuffle keyed by shingle (never doc×doc), then a
+    per-doc re-agg. Shingle-key skew is bounded because only *distinct*
+    per-doc shingles are emitted — a shingle's partition receives at
+    most one row per containing doc.
+    """
+    docs = t(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(_toks()) - F.lit(4), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(_toks(), i, 5)))
+    )
+    pairs = docs.select("doc_id", F.explode(grams).alias("shingle"))
+    counts = pairs.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
+    return (
+        pairs.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            ieee_round(F.col("n_shared") / F.col("n_shingles"), 4).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_PASSAGE_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), g AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(toks) - 4, 1) + 1),
+               i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+    FROM tok
+), c AS (
+    SELECT shingle, count(*) AS n_docs_with FROM g GROUP BY shingle
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       {sql_ieee_round('sum(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)', 4)} AS shared_frac
+FROM g JOIN c USING (shingle)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Collocation mining (pointwise mutual information)
+# ---------------------------------------------------------------------------
+
+
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams by PMI (min count 5) — standard collocation
+    mining for tokenizer/vocab construction. PMI =
+    ln(c_xy · N / (c_x · c_y)) with N = total unigram count.
+
+    Scale: one unigram-count shuffle + one bigram-count shuffle, both
+    map-side combined to vocab-sized outputs; unigram table broadcast
+    twice onto the bigram counts (vocab ≪ corpus). Top-k is
+    orderBy+limit = per-partition heaps, no global window.
+    """
+    docs = t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(_toks()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    n_total = uni.agg(F.sum("c_tok").alias("n")).select("n")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(_toks()) - F.lit(1), F.lit(1)))
+    grams = F.transform(
+        starts, lambda i: F.struct(F.element_at(_toks(), i).alias("w1"),
+                                   F.element_at(_toks(), i + 1).alias("w2"))
+    )
+    big = (
+        docs.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c_y"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            ieee_round(
+                F.log(F.col("c_xy") * F.col("n") / (F.col("c_x") * F.col("c_y"))), 4
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+
+
+TOKEN_BIGRAM_PMI_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), uni AS (
+    SELECT tok, count(*) AS c_tok
+    FROM (SELECT unnest(toks) AS tok FROM tok) WHERE tok <> ''
+    GROUP BY tok
+), n AS (
+    SELECT sum(c_tok) AS n FROM uni
+), big AS (
+    SELECT w1, w2, count(*) AS c_xy
+    FROM (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM tok, unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS r(i)
+    )
+    WHERE w1 <> '' AND w2 <> ''
+    GROUP BY w1, w2
+    HAVING count(*) >= 5
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       {sql_ieee_round('ln(c_xy * n.n / (ux.c_tok * uy.c_tok))', 4)} AS pmi
+FROM big
+JOIN uni ux ON big.w1 = ux.tok
+JOIN uni uy ON big.w2 = uy.tok
+CROSS JOIN n
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "table", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) of a fixed 3-term query over every doc,
+    top-100 by score — the retrieval-scoring primitive behind
+    quality-targeted data selection.
+
+    Scale: per-doc term frequencies are pure array expressions (zero
+    shuffle); document frequencies and avg doc length are two tiny aggs
+    broadcast back. The only corpus-sized shuffle is the final top-k,
+    which is orderBy+limit (per-partition heaps).
+    """
+    docs = t(spark, sf_dir, "documents")
+    dl = F.size(_toks()).cast("double")
+    base = docs.select("doc_id", _toks().alias("toks"), dl.alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", term), 1).otherwise(0)
+            ).alias(f"df_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, term in enumerate(_BM25_TERMS):
+        tf = F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        score = score + idf * tf * (_BM25_K1 + 1.0) / denom
+    return (
+        scored.select("doc_id", ieee_round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+    )
+
+
+def _bm25_sql() -> str:
+    terms_sql = []
+    for i, term in enumerate(_BM25_TERMS):
+        tf = f"len(list_filter(toks, x -> x = '{term}'))"
+        idf = f"ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        denom = f"({tf} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * b.dl / s.avgdl))"
+        terms_sql.append(f"{idf} * {tf} * ({_BM25_K1} + 1.0) / {denom}")
+    score = " + ".join(terms_sql)
+    dfs = ",\n           ".join(
+        f"sum(CASE WHEN list_contains(toks, '{term}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    return rf"""
+WITH b AS (
+    SELECT doc_id, {_SQL_TOKS} AS toks,
+           CAST(len({_SQL_TOKS}) AS DOUBLE) AS dl
+    FROM documents
+), s AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+           {dfs}
+    FROM b
+)
+SELECT doc_id, {sql_ieee_round(score, 4)} AS bm25
+FROM b CROSS JOIN s
+WHERE {sql_ieee_round(score, 4)} > 0.0
+ORDER BY bm25 DESC, doc_id
+LIMIT 100
+"""
+
+
+BM25_SCORES_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# 5. Exact length quantiles per stratum
+# ---------------------------------------------------------------------------
+
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length quantiles per (lang, source) — the
+    corpus profile that sizes packing windows and truncation budgets.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the same
+    linear-interpolation definition, so this is a true cross-engine
+    check of the sort-based exact-percentile path.
+
+    Scale: one shuffle keyed by the (small) stratum set; exact
+    percentile sorts within each stratum — at 100 TB swap to
+    ``approx_percentile`` (entry ``agg_approx`` covers that path).
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                ieee_round(F.expr(f"percentile(n_chars, {q})"), 2).alias(
+                    f"p{int(q * 100):02d}"
+                )
+                for q in (0.25, 0.5, 0.75, 0.99)
+            ],
+        )
+        .orderBy("lang", "source")
+    )
+
+
+DOC_LENGTH_PCT_SQL = f"""
+SELECT lang, source, count(*) AS n_docs,
+       {sql_ieee_round('quantile_cont(n_chars, 0.25)', 2)} AS p25,
+       {sql_ieee_round('quantile_cont(n_chars, 0.50)', 2)} AS p50,
+       {sql_ieee_round('quantile_cont(n_chars, 0.75)', 2)} AS p75,
+       {sql_ieee_round('quantile_cont(n_chars, 0.99)', 2)} AS p99
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Incremental corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: docs from sources other than
+    ``src0`` (the "already-ingested corpus") are kept only if their
+    content fingerprint is unseen — the anti-join every rolling crawl
+    pipeline runs per batch. Reports kept/dropped per new source.
+
+    Scale: fingerprint anti-join is one hash shuffle on md5(text) —
+    or, when the new batch ≪ corpus, flip the build side so the batch
+    broadcasts. Fingerprints (not full text) move through the shuffle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    existing = docs.filter(F.col("source") == "src0").select(fp.alias("fp")).distinct()
+    new = docs.filter(F.col("source") != "src0").select("doc_id", "source", fp.alias("fp"))
+    kept = new.join(existing, "fp", "left_anti")
+    return (
+        new.select("source", "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_new"))
+        .join(
+            kept.groupBy("source").agg(F.count("*").alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_new",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_new") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH existing AS (
+    SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE source = 'src0'
+), new AS (
+    SELECT doc_id, source, md5(lower(trim(text))) AS fp
+    FROM documents WHERE source <> 'src0'
+), kept AS (
+    SELECT source, count(*) AS n_kept
+    FROM new WHERE fp NOT IN (SELECT fp FROM existing)
+    GROUP BY source
+)
+SELECT n.source, count(*) AS n_new,
+       CAST(coalesce(any_value(k.n_kept), 0) AS BIGINT) AS n_kept,
+       CAST(count(*) - coalesce(any_value(k.n_kept), 0) AS BIGINT) AS n_dropped
+FROM new n LEFT JOIN kept k ON n.source = k.source
+GROUP BY n.source
+ORDER BY n.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Fixed-quota deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_hash_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling, deterministic: rank docs inside
+    each lang by md5(doc_id) (a uniform pseudo-random but reproducible
+    order) and keep the first 100. The fixed-quota complement of the
+    fraction-based ``sample_stratified``.
+
+    Scale: rank-within-stratum is a window per lang; with few large
+    strata this is the two-phase salted top-k problem — ``topk_per_group``
+    demonstrates the scale-out variant; here strata counts (≫ k) keep
+    the per-partition heap path adequate.
+    """
+    docs = t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", rk.alias("rk"))
+        .filter(F.col("rk") <= 100)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+SAMPLE_HASH_QUOTA_SQL = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 100
+ORDER BY lang, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Skew-salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value hot key
+    (l_returnflag holds 600k rows in 3 groups): phase 1 aggregates on
+    (key, salt-16) so every core works, phase 2 folds the 48 partials.
+    Result is bit-identical to the direct group-by (the oracle runs the
+    direct form).
+
+    Scale: this is THE pattern for power-law keys — phase-1 shuffle
+    fans the hot key across 16 partitions; phase-2 shuffle moves only
+    key-cardinality × 16 rows. AQE skew handling covers joins; salting
+    covers aggs like this where one key dominates.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.hash("l_orderkey"), F.lit(16))
+    partial = (
+        li.groupBy("l_returnflag", salt.alias("salt"))
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum("l_quantity").alias("pq"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("prev"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").cast("long").alias("n_rows"),
+            ieee_round(F.sum("pq"), 2).alias("sum_qty"),
+            ieee_round(F.sum("prev"), 2).alias("sum_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SKEW_SALTED_AGG_SQL = f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       {sql_ieee_round('sum(l_quantity)', 2)} AS sum_qty,
+       {sql_ieee_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Curriculum quality bucketing
+# ---------------------------------------------------------------------------
+
+
+def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score → ntile(4) curriculum buckets per lang →
+    per-bucket profile. Score blends length saturation, bigram
+    non-repetition and mean word length — the shape (not the weights)
+    of every quality-curriculum sampler.
+
+    Scale: score is a pure per-row expression; ntile needs a per-lang
+    sort — with few large strata, swap ntile for percentile-threshold
+    buckets (stats-then-apply, see ``clip_outliers``) to avoid the
+    global per-stratum sort. Final agg is bucket-sized.
+    """
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(_toks()).cast("double")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(_toks()) - F.lit(1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(_toks(), i, 2)))
+    dup_frac = 1.0 - F.size(F.array_distinct(grams)) / F.greatest(
+        F.size(grams).cast("double"), F.lit(1.0)
+    )
+    mean_wlen = (F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", ""))
+                 / F.greatest(n_tok, F.lit(1.0)))
+    score = ieee_round(
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - dup_frac)
+        + 0.2 * F.least(mean_wlen / 8.0, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select("doc_id", "lang", score.alias("score"))
+    bucket = F.ntile(4).over(Window.partitionBy("lang").orderBy("score", "doc_id"))
+    return (
+        scored.select("lang", "score", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            ieee_round(F.avg("score"), 4).alias("avg_score"),
+            ieee_round(F.min("score"), 4).alias("min_score"),
+        )
+        .select("lang", F.col("bucket").cast("long").alias("bucket"),
+                "n_docs", "avg_score", "min_score")
+        .orderBy("lang", "bucket")
+    )
+
+
+_QC_NTOK = rf"CAST(len({_SQL_TOKS}) AS DOUBLE)"
+_QC_GRAMS = (
+    rf"list_transform(range(1, greatest(len({_SQL_TOKS}) - 1, 1) + 1), "
+    rf"i -> array_to_string(({_SQL_TOKS})[i:i+1], ' '))"
+)
+_QC_DUP = rf"(1.0 - len(list_distinct({_QC_GRAMS})) * 1.0 / greatest(len({_QC_GRAMS}), 1))"
+_QC_WLEN = (
+    rf"(length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) * 1.0"
+    rf" / greatest({_QC_NTOK}, 1.0))"
+)
+_QC_SCORE = sql_ieee_round(
+    f"0.5 * least({_QC_NTOK} / 100.0, 1.0) + 0.3 * (1.0 - {_QC_DUP})"
+    f" + 0.2 * least({_QC_WLEN} / 8.0, 1.0)",
+    6,
+)
+QUALITY_CURRICULUM_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang, {_QC_SCORE} AS score FROM documents
+), bucketed AS (
+    SELECT lang, score,
+           ntile(4) OVER (PARTITION BY lang ORDER BY score, doc_id) AS bucket
+    FROM scored
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       {sql_ieee_round('avg(score)', 4)} AS avg_score,
+       {sql_ieee_round('min(score)', 4)} AS min_score
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Int8 embedding quantization error
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with a
+    global scale (max|x| / 127): per-label mean/max reconstruction MSE.
+    The storage-shrink every 100 TB vector corpus applies before ANN
+    indexing; the MSE profile is the acceptance test.
+
+    Scale: global max|x| is a tiny agg broadcast back; the MSE is a
+    pure per-row array fold (no shuffle); final agg is label-sized.
+    Quantization uses floor(x/s + 0.5) on both engines — identical IEEE
+    op sequence, no round-half-mode ambiguity.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    gmax = emb.agg(
+        F.max(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+            )
+        ).alias("maxabs")
+    )
+    scaled = emb.crossJoin(F.broadcast(gmax)).withColumn(
+        "scale", F.col("maxabs") / 127.0
+    )
+    err = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x, 2),
+    ) / F.size("embedding")
+    return (
+        scaled.select("label", err.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            ieee_round(F.avg("mse") * 1e6, 4).alias("avg_mse_ppm"),
+            ieee_round(F.max("mse") * 1e6, 4).alias("max_mse_ppm"),
+        )
+        .select(F.col("label").cast("long").alias("label"),
+                "n_vecs", "avg_mse_ppm", "max_mse_ppm")
+        .orderBy("label")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH g AS (
+    SELECT max(list_max(list_transform(embedding, x -> abs(x)))) AS maxabs
+    FROM embeddings
+), per AS (
+    SELECT label,
+           list_sum(list_transform(
+               embedding,
+               x -> pow(floor(x / (g.maxabs / 127.0) + 0.5) * (g.maxabs / 127.0) - x, 2)
+           )) / len(embedding) AS mse
+    FROM embeddings CROSS JOIN g
+)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+       {sql_ieee_round('avg(mse) * 1e6', 4)} AS avg_mse_ppm,
+       {sql_ieee_round('max(mse) * 1e6', 4)} AS max_mse_ppm
+FROM per
+GROUP BY label
+ORDER BY label
+"""
+
+
+R5_ENTRIES: dict[str, Entry] = {
+    "text_dedup_tokens": Entry(text_dedup_tokens, TEXT_DEDUP_TOKENS_SQL),
+    "dup_passage_docs": Entry(dup_passage_docs, DUP_PASSAGE_SQL),
+    "token_bigram_pmi": Entry(token_bigram_pmi, TOKEN_BIGRAM_PMI_SQL),
+    "bm25_scores": Entry(bm25_scores, BM25_SCORES_SQL),
+    "doc_length_percentiles": Entry(doc_length_percentiles, DOC_LENGTH_PCT_SQL),
+    "dedup_incremental": Entry(dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "sample_hash_quota": Entry(sample_hash_quota, SAMPLE_HASH_QUOTA_SQL),
+    "skew_salted_agg": Entry(skew_salted_agg, SKEW_SALTED_AGG_SQL),
+    "quality_curriculum": Entry(quality_curriculum, QUALITY_CURRICULUM_SQL),
+    "embedding_quantize": Entry(embedding_quantize, EMBEDDING_QUANTIZE_SQL),
+}
