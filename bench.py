@@ -39,6 +39,11 @@ HEADLINE = [
     "decontaminate",          # broadcast n-gram decontamination
     "window_value_functions", # first/last/nth_value frames
     "subquery_correlated_avg",# correlated-subquery decorrelation
+    # r5 additions: the heaviest of the new LLM-pipeline entries
+    "dup_passage_docs",       # 5-gram shingle explode + count shuffle
+    "token_bigram_pmi",       # unigram+bigram counts, vocab broadcast
+    "bm25_scores",            # per-row tf folds + broadcast stats
+    "embedding_quantize",     # array folds over the embedding corpus
 ]
 
 

@@ -425,7 +425,13 @@ def embedding_dup_pairs(
             *[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    lsh_bucket(F.col("v"), dim, lsh_bits, plane_offset=bi * lsh_bits).alias("bkt"),
+                    lsh_bucket(
+                        F.col("v"),
+                        dim,
+                        lsh_bits,
+                        plane_offset=bi * lsh_bits,
+                        n_calls=lsh_bands,
+                    ).alias("bkt"),
                 )
                 for bi in range(lsh_bands)
             ]

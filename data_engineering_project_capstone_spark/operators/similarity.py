@@ -80,23 +80,30 @@ def _hyperplane(dim: int, plane: int) -> Column:
 LSH_EXPR_BUDGET = 4096
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> Column:
+def lsh_bucket(
+    vec: Column, dim: int, bits: int = 8, plane_offset: int = 0, n_calls: int = 1
+) -> Column:
     """Sign-bit bucket key: bit p = sign(<vec, hyperplane_{p+plane_offset}>).
 
     ``plane_offset`` selects an independent hyperplane family — banded
     callers (embedding dedup) use offset ``band*bits`` so each band hashes
     with distinct planes.
 
-    Raises ``ValueError`` when ``bits * dim`` exceeds ``LSH_EXPR_BUDGET``:
-    the per-bit fold is unrolled into the plan, and oversized configs hit
-    Catalyst codegen limits (the same failure mode the banded-minhash
-    docstring in dedup.py warns about). For high-dim / many-bit configs,
-    restructure as posexplode(vec) → join against a broadcast (plane, j,
-    component) table → groupBy(id, plane) sum → pivot bits, which keeps
-    the work row-shaped instead of expression-shaped."""
-    if bits * dim > LSH_EXPR_BUDGET:
+    Raises ``ValueError`` when ``n_calls * bits * dim`` exceeds
+    ``LSH_EXPR_BUDGET``: the per-bit fold is unrolled into the plan, and
+    oversized configs hit Catalyst codegen limits (the same failure mode
+    the banded-minhash docstring in dedup.py warns about). Banded callers
+    that place several bucket expressions in ONE plan must pass
+    ``n_calls=<band count>`` — the budget is a per-PLAN cost, and bands
+    multiply it even though each individual call looks affordable. For
+    high-dim / many-bit / many-band configs, restructure as
+    posexplode(vec) → join against a broadcast (plane, j, component)
+    table → groupBy(id, plane) sum → pivot bits, which keeps the work
+    row-shaped instead of expression-shaped."""
+    total = n_calls * bits * dim
+    if total > LSH_EXPR_BUDGET:
         raise ValueError(
-            f"lsh_bucket: bits*dim = {bits * dim} exceeds the codegen "
+            f"lsh_bucket: n_calls*bits*dim = {total} exceeds the codegen "
             f"expression budget ({LSH_EXPR_BUDGET}). Use the explode + "
             "broadcast-plane-join + groupBy formulation for this config "
             "(see docstring)."

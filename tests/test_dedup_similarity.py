@@ -202,3 +202,25 @@ def test_lsh_bucket_codegen_guard(spark):
         lsh_bucket(F.col("embedding"), dim=LSH_EXPR_BUDGET, bits=2)
     # at the budget boundary the unrolled fold is still allowed
     lsh_bucket(F.col("embedding"), dim=LSH_EXPR_BUDGET // 8, bits=8)
+    # banded callers must declare the band count: a per-call-affordable
+    # config whose bands TOGETHER overrun the plan budget is rejected
+    # (ADVICE r4: bands*bits*dim is the real codegen cost in one plan)
+    with pytest.raises(ValueError, match="expression budget"):
+        lsh_bucket(F.col("embedding"), dim=LSH_EXPR_BUDGET // 8, bits=8, n_calls=2)
+
+
+def test_banded_dedup_oversized_config_trips_guard(spark):
+    """The dedup_embedding_cosine banded path forwards its band count into
+    the guard, so an oversized bands×bits×dim config fails fast at plan
+    build time instead of stalling codegen."""
+    from data_engineering_project_capstone_spark.operators.dedup import (
+        embedding_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.2] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="expression budget"):
+        embedding_dup_pairs(
+            df, block_col=None, dim=64, lsh_bits=8, lsh_bands=16
+        ).explain()
