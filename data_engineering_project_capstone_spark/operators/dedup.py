@@ -39,22 +39,38 @@ from .text import tokens
 # --------------------------------------------------------------------------
 
 
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Callers must project the token array first
+    (``.select(tokens(...).alias("toks"))``) — referencing a computed
+    tokenize expression here would re-evaluate it once per array element
+    inside the transform lambda (no common-subexpression elimination
+    across higher-order-function boundaries; measured ~10× slower on the
+    jaccard family)."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    starts = F.sequence(F.lit(1), F.greatest(F.size(c) - F.lit(n - 1), F.lit(1)))
+    return F.filter(
+        F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(c, i, n)))
+        ),
+        lambda s: s != "",
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text (NULL → '').
 
     An empty/whitespace-only document has NO shingles (empty array), not a
     [''] singleton — ``split('', '\\s+')`` yields [''] and the final filter
     drops the empty shingle it would produce, so empty docs can never pair
-    in any shingle-based family (the documented null policy)."""
+    in any shingle-based family (the documented null policy).
+
+    PERF: this composes the tokenizer INTO the shingle expression, which
+    re-tokenizes per array element in the transform lambda. Fine for a
+    single scalar use; in any plan that keeps the shingle array, project
+    ``tokens(...)`` first and use :func:`shingles_from_tokens`."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(F.coalesce(c, F.lit("")))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.filter(
-        F.array_distinct(
-            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        ),
-        lambda s: s != "",
-    )
+    return shingles_from_tokens(tokens(F.coalesce(c, F.lit(""))), n)
 
 
 # --------------------------------------------------------------------------
@@ -114,9 +130,23 @@ def jaccard_pairs(
     """
     sh = (
         df.select(
-            F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+            F.col(id_col).alias("id"),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
         )
-        .withColumn("block", F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s))))
+        .select(F.col("id"), shingles_from_tokens("_toks", shingle_n).alias("sh"))
+        # non-nullable block key: a nullable join key makes the optimizer
+        # infer isnotnull(block) and push the whole shingle expression
+        # below the projections (quadratic re-tokenize — see
+        # shingles_from_tokens docstring). Empty docs coalesce to a
+        # per-row unique sentinel, so they can never co-bucket (null
+        # policy) and the key is statically non-null.
+        .withColumn(
+            "block",
+            F.coalesce(
+                F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s))),
+                F.xxhash64(F.lit("__empty__"), F.coalesce(F.col("id"), F.lit(-1))),
+            ),
+        )
     )
     sh = sh.withColumn(
         "bsz", F.count(F.lit(1)).over(Window.partitionBy("block"))
@@ -166,13 +196,16 @@ def minhash_signatures(
     """
     sh = df.select(
         F.col(id_col).alias("id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    ).select(
+        F.col("id"),
         # hashed shingles: set semantics survive (xxhash64 collisions are
         # negligible) and downstream set-intersections run on longs, not
         # hundreds of strings — the difference between a cheap verify and
         # a quadratic string-comparison hotspot
         F.array_distinct(
             F.transform(
-                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+                shingles_from_tokens("_toks", shingle_n), lambda s: F.xxhash64(s)
             )
         ).alias("sh"),
     )

@@ -1329,15 +1329,44 @@ FROM documents
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs, min-md5-shingle blocking (the k=1
-    MinHash blocking key, expressible in both engines)."""
-    docs = t(spark, sf_dir, "documents")
-    from ..operators.dedup import word_shingles
+    MinHash blocking key, expressible in both engines).
 
-    sh = docs.select(
-        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
-    ).withColumn("block", F.array_min(F.transform(F.col("sh"), F.md5)))
-    a = sh.select("block", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select("block", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    The blocking key is md5-based so BOTH engines bucket identically;
+    the in-bucket verify however intersects xxhash64-hashed shingle
+    arrays, not the strings — intersection/union SIZES (and hence the
+    Jaccard value the oracle checks) are hash-invariant, and long-array
+    intersects cut the dominant in-bucket cost roughly in half."""
+    docs = t(spark, sf_dir, "documents")
+    from ..operators.dedup import shingles_from_tokens
+    from ..operators.text import tokens
+
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
+        )
+        .select(F.col("id"), shingles_from_tokens("_toks", 3).alias("sh"))
+        .select(
+            "id",
+            # the block key MUST be non-nullable: a nullable join key makes
+            # the optimizer infer isnotnull(block) and push it below the
+            # projections, re-deriving the whole shingle pipeline against
+            # raw text — which re-tokenizes per lambda element (measured
+            # 10s vs 0.3s at sf0.1). The coalesce sentinel is also the
+            # null policy: an empty doc gets a per-row unique key and can
+            # never co-bucket.
+            F.coalesce(
+                F.array_min(F.transform(F.col("sh"), F.md5)),
+                F.concat(
+                    F.lit("__empty__"),
+                    F.coalesce(F.col("id").cast("string"), F.lit("?")),
+                ),
+            ).alias("block"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("shh"),
+        )
+    )
+    a = sh.select("block", F.col("id").alias("id_a"), F.col("shh").alias("sh_a"))
+    b = sh.select("block", F.col("id").alias("id_b"), F.col("shh").alias("sh_b"))
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
@@ -1565,7 +1594,8 @@ def check_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raw text — a non-vacuous, data-dependent value. The exact-pair
     anchor reuses dedup_jaccard_pairs (md5-min blocking, the oracle's own
     formulation) so both engines block identically at every SF."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import shingles_from_tokens
+    from ..operators.text import tokens
 
     docs = t(spark, sf_dir, "documents")
     lsh, _ = _minhash_components(spark, sf_dir)
@@ -1574,7 +1604,18 @@ def check_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.95)
         .select("id_a", "id_b")
     )
-    sh = docs.select(F.col("doc_id"), word_shingles("text").alias("sh"))
+    sh = (
+        docs.select(
+            F.col("doc_id"),
+            tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
+        )
+        .select(F.col("doc_id"), shingles_from_tokens("_toks").alias("sh"))
+        # hashed shingles: Jaccard is intersection/union-SIZE based, so
+        # xxhash64 arrays give the same value at half the compare cost
+        .select(
+            "doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("sh")
+        )
+    )
     rejoined = lsh.join(
         sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -2033,14 +2074,16 @@ def text_dup_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases, not just vocabulary reuse). Pure per-row array expressions,
     zero shuffle."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    tok = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 2)))
     n_grams = F.size(grams).cast("double")
     dup_frac = ieee_round(
         1.0 - F.size(F.array_distinct(grams)) / F.greatest(n_grams, F.lit(1.0)), 4
     )
-    return docs.select(
+    return tok.select(
         "doc_id",
         F.size(grams).cast("long").alias("n_bigrams"),
         dup_frac.alias("dup_bigram_frac"),
@@ -2263,13 +2306,17 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The top-k is orderBy+limit — Spark's TakeOrdered (per-partition heaps
     + driver merge of 100-row heads), NOT a global window; scale cost is
     the gram explode + one combined count shuffle. Deterministic tiebreak
-    on the gram string."""
+    on the gram string. The token array is projected ONCE before the
+    gram transform — referencing the split inside the lambda re-evaluates
+    it per element (measured 10× slower)."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    tok = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 2)))
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        tok.select(F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
