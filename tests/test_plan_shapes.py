@@ -174,3 +174,66 @@ def test_no_global_window_in_fact_paths(spark):
         # global-window marker: 'Window [...]' with no 'partitionBy' spec is
         # hard to grep; assert the partition columns appear in the spec
         assert "SinglePartition" not in plan.split("Window")[0], name
+
+
+def test_r5_bm25_broadcasts_stats(spark):
+    """bm25's df/avgdl stats side must broadcast onto the corpus — a
+    shuffled join for a 1-row stats table would be wrong at any scale."""
+    plan = plan_of(spark, "bm25_scores")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_r5_dup_passage_single_shingle_shuffle(spark):
+    """dup_passage counts via a whole-partition window over the shingle
+    key: exactly one Exchange on shingle + one on doc_id, and no
+    self-join of the exploded set (the 2.5×-slower shape)."""
+    plan = plan_of(spark, "dup_passage_docs")
+    # two hash shuffles (shingle window, doc_id agg); the third Exchange is
+    # the presentation orderBy's rangepartitioning
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+
+
+def test_r5_no_quadratic_tokenize_in_gram_plans(spark):
+    """The split() must appear exactly once per scan branch in gram-building
+    plans — a split nested inside the transform lambda re-evaluates per
+    element (the measured 10× regression this round fixed)."""
+    for name in ("dup_passage_docs", "token_bigram_pmi", "quality_curriculum",
+                 "ngram_counts", "text_dup_bigrams", "dedup_jaccard_pairs"):
+        plan = plan_of(spark, name)
+        for line in plan.splitlines():
+            # within any single operator line, split() must not occur inside
+            # a lambdafunction body (the HOF re-evaluation hazard)
+            for seg in line.split("lambdafunction")[1:]:
+                assert "split(lower(trim(" not in seg, (
+                    f"{name}: tokenizer nested in HOF lambda\n{line}"
+                )
+
+
+def test_r5_jaccard_block_key_not_inferred_notnull(spark):
+    """The jaccard blocking join must not re-derive the shingle pipeline
+    in an inferred isnotnull(block) filter below the projections: no
+    Filter condition may contain the tokenizer."""
+    plan = plan_of(spark, "dedup_jaccard_pairs")
+    for line in plan.splitlines():
+        if "Filter" in line and "isnotnull" in line:
+            assert "split(lower(trim(" not in line, line
+
+
+def test_r5_skew_salted_agg_two_phase(spark):
+    """Salted agg = two HashAggregate pairs (partial+final per phase) and
+    two Exchanges: (key, salt) then key."""
+    plan = plan_of(spark, "skew_salted_agg")
+    assert plan.count("Exchange") >= 2
+    assert "HashAggregate" in plan
+
+
+def test_r5_embedding_quantize_broadcast_scale(spark):
+    """The global max|x| scale is one row — it must broadcast, and the MSE
+    fold must stay a narrow map (no shuffle between scan and final agg
+    beyond the label groupBy)."""
+    plan = plan_of(spark, "embedding_quantize")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
