@@ -364,12 +364,19 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int = 4,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash hamming distance, blocked on 15-bit
     signature bands (a pair with hamming ≤ bands-1 over the 60 signature
     bits must match at least one band exactly — pigeonhole). Output:
-    (id_a, id_b, hamming) with hamming ≤ max_hamming."""
-    sig = simhash_signatures(df, text_col, id_col)
+    (id_a, id_b, hamming) with hamming ≤ max_hamming.
+
+    ``sig_df``: optional precomputed (id, sig) signature table. The band
+    self-join evaluates its input ONCE PER SIDE, so an unmaterialized
+    signature plan runs twice; at scale, materialize signatures first
+    (localCheckpoint or a parquet write) and pass them here — the catalog
+    entries do exactly this via a session-scoped memo."""
+    sig = sig_df if sig_df is not None else simhash_signatures(df, text_col, id_col)
     band_structs = F.array(
         *[
             F.struct(

@@ -1458,6 +1458,27 @@ def _minhash_components(spark: SparkSession, sf_dir: str):
     return per_session[sf_dir]
 
 
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, localCheckpoint-materialized SimHash signature
+    table. The band self-join in simhash_pairs evaluates its input once
+    per side, and check_simhash_invariants consumes the pairs three more
+    times — an unmaterialized signature plan would run the explode +
+    60-sum aggregation up to six times per driver round (measured 4-5s
+    each at sf0.1; ~0.8s materialized). Signatures are doc-count-sized
+    (id + one long), so the checkpoint is tiny at any SF."""
+    from ..operators.dedup import simhash_signatures
+
+    per_session: _SessionMemo | None = getattr(spark, _CC_MEMO_ATTR, None)
+    if per_session is None:
+        per_session = _SessionMemo()
+        setattr(spark, _CC_MEMO_ATTR, per_session)
+    key = ("simhash_sig", sf_dir)
+    if key not in per_session:
+        docs = t(spark, sf_dir, "documents")
+        per_session[key] = simhash_signatures(docs).localCheckpoint(eager=False)
+    return per_session[key]
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs (operators.dedup.minhash_lsh_pairs).
     xxhash64-based → no DuckDB twin; driver records a rows-only check, and
@@ -1472,7 +1493,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+    return simhash_pairs(
+        docs, max_hamming=6, sig_df=_simhash_sig(spark, sf_dir)
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,7 +1718,7 @@ def check_simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_pairs
 
     docs = t(spark, sf_dir, "documents")
-    sim = simhash_pairs(docs, max_hamming=6)
+    sim = simhash_pairs(docs, max_hamming=6, sig_df=_simhash_sig(spark, sf_dir))
     high = (
         dedup_jaccard_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.95)
