@@ -85,3 +85,56 @@ def test_foreach_batch_idempotent_redelivery(spark, tmp_path, src):
     replay = spark.read.schema(SCHEMA).parquet(str(src))
     writer(replay, 0)
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_stateful_restart_with_rescaled_shuffle_partitions(spark, tmp_path, src):
+    """Stateful (windowed-agg) query restarted from its checkpoint after
+    spark.sql.shuffle.partitions changes. Structured Streaming pins the
+    state-store partition count in the checkpoint at first run and keeps
+    using it on restart — the conf change must neither fail the query nor
+    corrupt counts. This is the operational contract for rescaling a
+    cluster under a running pipeline (VERDICT r2 #7)."""
+    out, ckpt = str(tmp_path / "st_out"), str(tmp_path / "st_ckpt")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_query():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        counts = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        return (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rescale_counts")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        q = run_query()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        before = {
+            r["user_id"]: (r["n"], r["total"])
+            for r in spark.sql("select * from rescale_counts").collect()
+        }
+        assert before == {10: (2, 3.0)}
+
+        # rescale: restart the SAME checkpoint with 4x fewer partitions
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        _add_file(src, "b2", [(3, 10, 3.0), (4, 11, 4.0)])
+        q = run_query()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        after = {
+            r["user_id"]: (r["n"], r["total"])
+            for r in spark.sql("select * from rescale_counts").collect()
+        }
+        # state carried across the restart AND merged with the new batch
+        assert after == {10: (3, 6.0), 11: (1, 4.0)}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
