@@ -3996,6 +3996,8 @@ _DRIVER_WINDOW_R5 = [
     "skew_salted_agg",
     "quality_curriculum",
     "embedding_quantize",
+    "agg_modes",
+    "events_multires_rollup",
     # (d) r3-window re-confirmation on regenerated testdata
     "q1_avg_price_by_nation",
     "q2_count_by_nation_region",
@@ -4024,8 +4026,6 @@ _DRIVER_WINDOW_R5 = [
     "agg_distinct_count",
     "agg_approx",
     "string_functions",
-    "surrogate_ids",
-    "proj_filter",
 ]
 assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 CATALOG = {

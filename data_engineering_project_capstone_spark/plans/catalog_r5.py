@@ -672,6 +672,137 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# 11. Robust central-tendency aggregates (mode / median)
+# ---------------------------------------------------------------------------
+
+
+def agg_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() and median() per order-priority — the robust central-tendency
+    pair (exact median = sort-based; mode = per-group value counts).
+    Deterministic mode via the (count desc, value) tiebreak computed
+    explicitly, since engine-native mode() tiebreaks differ.
+
+    Scale: the explicit mode is two map-side-combined aggs (value counts
+    → max_by struct); exact median sorts within groups — swap to
+    approx_percentile(0.5) at 100 TB (agg_approx shows that path).
+    """
+    orders = t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("c")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(
+            F.desc("c"), F.asc("o_orderstatus")
+        )
+    )
+    mode_df = (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"))
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        ieee_round(F.expr("median(o_totalprice)"), 2).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        med.join(F.broadcast(mode_df), "o_orderpriority")
+        .select("o_orderpriority", "n_orders", "median_price", "mode_status")
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_MODES_SQL = f"""
+WITH counts AS (
+    SELECT o_orderpriority, o_orderstatus, count(*) AS c
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+), mode_t AS (
+    SELECT o_orderpriority, o_orderstatus AS mode_status
+    FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY c DESC, o_orderstatus
+               ) AS rk
+        FROM counts
+    ) WHERE rk = 1
+)
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       {sql_ieee_round('median(o_totalprice)', 2)} AS median_price,
+       any_value(m.mode_status) AS mode_status
+FROM orders o JOIN mode_t m USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Multi-resolution time rollup (continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day + month event rollups in ONE grouping-sets pass — the
+    hypertable/continuous-aggregate pattern: a single scan and a single
+    (expanded) shuffle produce every resolution, instead of three jobs
+    re-reading the fact.
+
+    Scale: GROUPING SETS expands each input row once per set (3×) before
+    the partial aggregate — at 100 TB that trades one extra map-side
+    expansion for two full re-scans, the right side of the trade whenever
+    the scan dominates (it does). Output keyed by (resolution, bucket).
+    """
+    from .catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    bucketed = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value",
+    )
+    rolled = bucketed.groupingSets(
+        [["h"], ["d"], ["m"]], "h", "d", "m"
+    ).agg(F.count("*").alias("n_events"), ieee_round(F.sum("value"), 2).alias("sum_value"))
+    resolution = (
+        F.when(F.col("h").isNotNull(), F.lit("hour"))
+        .when(F.col("d").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("month"))
+    )
+    bucket = F.coalesce("h", "d", "m")
+    return (
+        rolled.select(
+            resolution.alias("resolution"),
+            bucket.alias("bucket"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("resolution", "bucket")
+    )
+
+
+EVENTS_MULTIRES_SQL = f"""
+WITH b AS (
+    SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+           date_trunc('month', ts) AS m, value
+    FROM events
+), rolled AS (
+    SELECT h, d, m, count(*) AS n_events,
+           {sql_ieee_round('sum(value)', 2)} AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((h), (d), (m))
+)
+SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+            WHEN d IS NOT NULL THEN 'day'
+            ELSE 'month' END AS resolution,
+       coalesce(h, d, m) AS bucket,
+       n_events, sum_value
+FROM rolled
+ORDER BY resolution, bucket
+"""
+
+
 R5_ENTRIES: dict[str, Entry] = {
     "text_dedup_tokens": Entry(text_dedup_tokens, TEXT_DEDUP_TOKENS_SQL),
     "dup_passage_docs": Entry(dup_passage_docs, DUP_PASSAGE_SQL),
@@ -683,4 +814,6 @@ R5_ENTRIES: dict[str, Entry] = {
     "skew_salted_agg": Entry(skew_salted_agg, SKEW_SALTED_AGG_SQL),
     "quality_curriculum": Entry(quality_curriculum, QUALITY_CURRICULUM_SQL),
     "embedding_quantize": Entry(embedding_quantize, EMBEDDING_QUANTIZE_SQL),
+    "agg_modes": Entry(agg_modes, AGG_MODES_SQL),
+    "events_multires_rollup": Entry(events_multires_rollup, EVENTS_MULTIRES_SQL),
 }
