@@ -1,0 +1,138 @@
+"""Semantic invariants of the round-5 catalog entries, beyond the DuckDB
+differential: idempotence, quota bounds, error bounds, equivalence to the
+direct formulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_text_dedup_tokens_idempotent(spark):
+    """Dedup of already-deduped text changes nothing: n_unique tokens of
+    dedup_text == n_unique of the original doc."""
+    out = CATALOG["text_dedup_tokens"].spark_fn(spark, SF)
+    re_tok = F.split(F.col("dedup_text"), r"\s+")
+    viol = out.filter(
+        (F.size(F.array_distinct(re_tok)) != F.col("n_unique"))
+        | (F.size(re_tok) != F.col("n_unique"))
+    )
+    assert viol.count() == 0
+
+
+def test_dup_passage_shared_bounded(spark):
+    out = CATALOG["dup_passage_docs"].spark_fn(spark, SF)
+    viol = out.filter(
+        (F.col("n_shared") > F.col("n_shingles"))
+        | (F.col("shared_frac") < 0)
+        | (F.col("shared_frac") > 1)
+    )
+    assert viol.count() == 0
+
+
+def test_sample_hash_quota_at_most_k_per_stratum(spark):
+    out = CATALOG["sample_hash_quota"].spark_fn(spark, SF)
+    per = out.groupBy("lang").agg(F.count("*").alias("n"), F.max("rk").alias("mx"))
+    bad = per.filter((F.col("n") > 100) | (F.col("mx") > 100))
+    assert bad.count() == 0
+    # deterministic: two runs pick identical doc sets
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in CATALOG["sample_hash_quota"].spark_fn(spark, SF).collect()}
+    assert a == b
+
+
+def test_skew_salted_agg_equals_direct(spark):
+    """The salted two-phase agg must be value-identical to the direct
+    group-by it replaces."""
+    out = CATALOG["skew_salted_agg"].spark_fn(spark, SF)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    direct = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    got = {r["l_returnflag"]: r["n_rows"] for r in out.collect()}
+    for r in direct:
+        assert got[r["l_returnflag"]] == r["n_rows"]
+
+
+def test_embedding_quantize_error_bound(spark):
+    """int8 symmetric quantization error per element is ≤ (scale/2)², so
+    mean MSE in ppm must stay under that bound (computed from the data's
+    actual max|x|)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    maxabs = emb.select(
+        F.max(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+        ).alias("m")
+    ).collect()[0]["m"]
+    bound_ppm = ((maxabs / 127.0) / 2.0) ** 2 * 1e6
+    out = CATALOG["embedding_quantize"].spark_fn(spark, SF)
+    bad = out.filter(F.col("max_mse_ppm") > bound_ppm * 1.0001)
+    assert bad.count() == 0
+
+
+def test_dedup_incremental_conservation(spark):
+    """kept + dropped == new per source, and a doc whose text exists in
+    src0 is always dropped."""
+    out = CATALOG["dedup_incremental"].spark_fn(spark, SF).collect()
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_new"]
+        assert r["source"] != "src0"
+
+
+def test_bm25_scores_positive_and_capped(spark):
+    out = CATALOG["bm25_scores"].spark_fn(spark, SF)
+    assert out.filter(F.col("bm25") <= 0).count() == 0
+    assert out.count() <= 100
+
+
+def test_quality_curriculum_buckets_partition_langs(spark):
+    """Every lang has buckets 1..4 and bucket doc-counts differ by ≤1 per
+    lang (ntile contract)."""
+    rows = CATALOG["quality_curriculum"].spark_fn(spark, SF).collect()
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {1, 2, 3, 4}, (lang, buckets)
+        assert max(buckets.values()) - min(buckets.values()) <= 1, (lang, buckets)
+
+
+def test_events_multires_rollup_totals_consistent(spark):
+    """Every resolution partitions the same event set: n_events sums are
+    equal across hour/day/month."""
+    rows = CATALOG["events_multires_rollup"].spark_fn(spark, SF).collect()
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["resolution"]] = totals.get(r["resolution"], 0) + r["n_events"]
+    assert totals["hour"] == totals["day"] == totals["month"]
+
+
+def test_agg_modes_mode_is_argmax(spark):
+    out = {
+        r["o_orderpriority"]: r["mode_status"]
+        for r in CATALOG["agg_modes"].spark_fn(spark, SF).collect()
+    }
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    counts = (
+        orders.groupBy("o_orderpriority", "o_orderstatus").count().collect()
+    )
+    best: dict[str, tuple[int, str]] = {}
+    for r in counts:
+        key = r["o_orderpriority"]
+        cand = (-r["count"], r["o_orderstatus"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    for key, (_, status) in best.items():
+        assert out[key] == status
+
+
+def test_token_bigram_pmi_min_count_respected(spark):
+    out = CATALOG["token_bigram_pmi"].spark_fn(spark, SF)
+    assert out.filter(F.col("c_xy") < 5).count() == 0
+    assert out.count() <= 50
