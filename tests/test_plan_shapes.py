@@ -237,3 +237,12 @@ def test_r5_embedding_quantize_broadcast_scale(spark):
     plan = plan_of(spark, "embedding_quantize")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_r5_multires_rollup_single_pass(spark):
+    """GROUPING SETS must produce ONE scan + ONE Expand + one agg shuffle
+    — not three separate jobs over the fact."""
+    plan = plan_of(spark, "events_multires_rollup")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
