@@ -803,6 +803,116 @@ ORDER BY resolution, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# 13. Tokenizer vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-100 tokens by frequency —
+    the curve that sizes a tokenizer vocabulary (what fraction of all
+    token occurrences the first N vocab entries absorb).
+
+    Scale: one map-side-combined token-count shuffle to a vocab-sized
+    table, then rank + running sum over THAT table (vocab ≪ corpus, so
+    the single-partition prefix window is over thousands of rows, not
+    the corpus). Deterministic tiebreak on the token string.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(_toks().alias("toks"))
+    counts = (
+        tok.select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("n")).select("n")
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = counts.select(
+        "tok", "c",
+        F.row_number().over(w).alias("rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("rank") <= 100)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            F.col("c").cast("long").alias("c"),
+            ieee_round(F.col("cum") / F.col("n"), 6).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH counts AS (
+    SELECT tok, count(*) AS c
+    FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+), total AS (
+    SELECT sum(c) AS n FROM counts
+), ranked AS (
+    SELECT tok, c,
+           row_number() OVER (ORDER BY c DESC, tok) AS rank,
+           sum(c) OVER (ORDER BY c DESC, tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(c AS BIGINT) AS c,
+       {sql_ieee_round('cum * 1.0 / n', 6)} AS cum_coverage
+FROM ranked CROSS JOIN total
+WHERE rank <= 100
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. Cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much each source pair shares verbatim content: count of
+    distinct content fingerprints present in both sources (src_a <
+    src_b). The provenance diagnostic every multi-crawl corpus merge
+    runs before choosing dedup priority order.
+
+    Scale: distinct (fingerprint, source) projection (one shuffle),
+    self-join on fingerprint — bounded because each fingerprint carries
+    at most one row per source (≤ #sources rows per key), then a
+    matrix-sized count agg. Never doc×doc.
+    """
+    docs = t(spark, sf_dir, "documents")
+    fp = (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "source"
+        )
+        .distinct()
+    )
+    a = fp.select("fp", F.col("source").alias("src_a"))
+    b = fp.select("fp", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_DUP_MATRIX_SQL = """
+WITH fp AS (
+    SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
 R5_ENTRIES: dict[str, Entry] = {
     "text_dedup_tokens": Entry(text_dedup_tokens, TEXT_DEDUP_TOKENS_SQL),
     "dup_passage_docs": Entry(dup_passage_docs, DUP_PASSAGE_SQL),
@@ -816,4 +926,6 @@ R5_ENTRIES: dict[str, Entry] = {
     "embedding_quantize": Entry(embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "agg_modes": Entry(agg_modes, AGG_MODES_SQL),
     "events_multires_rollup": Entry(events_multires_rollup, EVENTS_MULTIRES_SQL),
+    "vocab_coverage": Entry(vocab_coverage, VOCAB_COVERAGE_SQL),
+    "source_dup_matrix": Entry(source_dup_matrix, SOURCE_DUP_MATRIX_SQL),
 }
