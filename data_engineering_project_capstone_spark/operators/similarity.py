@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import ieee_round
-from .dedup import cosine
+from .dedup import as_double, cosine, dot, norm_of
 
 
 def cosine_topk(
@@ -34,19 +34,24 @@ def cosine_topk(
     Output: (query_id, rank, neighbor_id, cos). Self-matches excluded.
     Deterministic: ties break on neighbor_id.
     """
+    # materialize each side's double vector + norm ONCE per row — the
+    # |corpus|×|queries| comparison stage is then one dot fold + a scalar
+    # division per pair instead of three folds (norm_of's perf contract)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_n", norm_of("q_vec"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_n", norm_of("c_vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            ieee_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+            ieee_round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -173,16 +178,23 @@ def ivf_topk(
     q = (
         q.withColumn("probe", F.slice(F.array_sort(cell_dists), 1, n_probe))
         .select(
-            "query_id", "q_vec", F.explode(F.col("probe.cell")).alias("cell")
+            "query_id",
+            F.col("qd").alias("q_vec"),
+            F.explode(F.col("probe.cell")).alias("cell"),
         )
+        .withColumn("q_n", norm_of("q_vec"))
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.withColumn("c_vec", as_double(F.col("c_vec")))
+        .withColumn("c_n", norm_of("c_vec"))
+        .join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            ieee_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+            ieee_round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -215,13 +227,21 @@ def lsh_topk(
     ``probes · |corpus| / 2^bits`` candidates — the standard recall/cost
     dial (probes=1+bits ≈ doubles recall for ~bits× candidate cost).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), dim, bits))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, bits))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("c_vec"),
+        )
+        .withColumn("c_n", norm_of("c_vec"))
+        .withColumn("bucket", lsh_bucket(F.col("c_vec"), dim, bits))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_n", norm_of("q_vec"))
+        .withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, bits))
+    )
     if probes > 1:
         # probe the home bucket plus buckets at hamming distance 1
         flips = [F.col("bucket")] + [
@@ -234,7 +254,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            ieee_round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+            ieee_round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

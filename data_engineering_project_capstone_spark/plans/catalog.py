@@ -1509,15 +1509,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, threshold=0.3)
 
 
+# Each CTE row carries the double vector AND its materialized norm (same
+# op sequence as operators.dedup.norm_of: sequential-fold sum of squares,
+# sqrt, 1e-6 floor), so the pairwise compare is ONE dot fold + a scalar
+# division — mirroring the Spark side's layout exactly (3× cheaper per
+# candidate pair than folding both norms inside the join).
+_NORM_N_SQL = (
+    "greatest(sqrt(list_reduce(list_transform(embedding::DOUBLE[], "
+    "y -> y * y), (a, b) -> a + b)), 1e-6)"
+)
 _COS_SQL = (
     "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), "
-    "(x, y) -> x + y) / greatest("
-    "sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) * "
-    "sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)), 1e-12)"
+    "(x, y) -> x + y) / (a.n * b.n)"
 )
 
 DEDUP_EMBEDDING_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v, {_NORM_N_SQL} AS n
+           FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {sql_ieee_round(_COS_SQL, 6)} AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -1539,7 +1547,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMILARITY_TOPK_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_N_SQL} AS n
+           FROM embeddings),
 scored AS (
     SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
            {sql_ieee_round(_COS_SQL, 6)} AS cos
@@ -1854,7 +1863,8 @@ def check_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the invariant booleans/zeros are the expected constants, but the
 # baseline they are measured against is genuinely cross-engine verified.
 _ANN_EXACT_TOP1_CTE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_N_SQL} AS n
+           FROM embeddings),
 scored AS (
     SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
            {sql_ieee_round(_COS_SQL, 6)} AS cos
