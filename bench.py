@@ -44,6 +44,9 @@ HEADLINE = [
     "token_bigram_pmi",       # unigram+bigram counts, vocab broadcast
     "bm25_scores",            # per-row tf folds + broadcast stats
     "embedding_quantize",     # array folds over the embedding corpus
+    # r5 optimization targets, kept timed so they can't silently regress
+    "dedup_jaccard_pairs",    # non-null block key (isnotnull-pushdown fix)
+    "dedup_embedding_cosine", # norm-column pairwise cosine (3x fix)
 ]
 
 

@@ -913,6 +913,83 @@ ORDER BY src_a, src_b
 """
 
 
+# ---------------------------------------------------------------------------
+# 15. Per-label embedding centroids (vector aggregate)
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — the vector-aggregate
+    primitive behind cluster summaries, IVF coarse quantizers and
+    class prototypes.
+
+    Scale: posexplode to (label, pos, val) then ONE map-side-combined
+    agg on (label, pos) and a labels-sized re-assembly — row-shaped
+    work the whole way, no per-group array folding, no collect. The
+    centroid is re-assembled with array_agg ordered by position.
+    Values rounded to 6dp for cross-engine float parity.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "pos", "val")
+    per_dim = ex.groupBy("label", "pos").agg(
+        ieee_round(F.avg("val"), 6).alias("m")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("_pm")
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.transform("_pm", lambda s: s["m"]).alias("centroid"),
+        )
+        .withColumn("dim", F.size("centroid").cast("long"))
+        .withColumn("centroid_norm", ieee_round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("centroid", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ))
+        .select(
+            "label",
+            "dim",
+            "centroid_norm",
+            ieee_round(F.element_at("centroid", 1), 6).alias("c0"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = f"""
+WITH ex AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           unnest(embedding::DOUBLE[]) AS val
+    FROM embeddings
+), per_dim AS (
+    SELECT label, pos, {sql_ieee_round('avg(val)', 6)} AS m
+    FROM ex GROUP BY label, pos
+), asm AS (
+    SELECT label, array_agg(m ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(len(centroid) AS BIGINT) AS dim,
+       {sql_ieee_round('sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b))', 6)} AS centroid_norm,
+       {sql_ieee_round('centroid[1]', 6)} AS c0
+FROM asm
+ORDER BY label
+"""
+
+
 R5_ENTRIES: dict[str, Entry] = {
     "text_dedup_tokens": Entry(text_dedup_tokens, TEXT_DEDUP_TOKENS_SQL),
     "dup_passage_docs": Entry(dup_passage_docs, DUP_PASSAGE_SQL),
@@ -928,4 +1005,5 @@ R5_ENTRIES: dict[str, Entry] = {
     "events_multires_rollup": Entry(events_multires_rollup, EVENTS_MULTIRES_SQL),
     "vocab_coverage": Entry(vocab_coverage, VOCAB_COVERAGE_SQL),
     "source_dup_matrix": Entry(source_dup_matrix, SOURCE_DUP_MATRIX_SQL),
+    "embedding_centroids": Entry(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
 }
