@@ -990,6 +990,104 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# 16. Near-dup graph degree profile
+# ---------------------------------------------------------------------------
+
+
+def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the Jaccard near-dup graph: how many docs
+    have 1, 2, 3… near-duplicates. The shape diagnostic run before
+    cluster resolution — a heavy tail means giant components and
+    template families; a flat profile means pairwise dedup suffices.
+
+    Scale: reuses dedup_jaccard_pairs' blocked plan, then two tiny aggs
+    (per-node degree over pair endpoints, then a histogram over the
+    degree domain). Never materializes components.
+    """
+    from .catalog import dedup_jaccard_pairs
+
+    pairs = dedup_jaccard_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_docs")
+        .orderBy("degree")
+    )
+
+
+def _dup_graph_degree_sql() -> str:
+    # the pair set MUST be the oracle's own dedup_jaccard_pairs formulation,
+    # verbatim — re-deriving it here would let the two drift
+    from .catalog import DEDUP_JACCARD_SQL
+
+    return f"""
+WITH pairs AS ({DEDUP_JACCARD_SQL}),
+nodes AS (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+), deg AS (
+    SELECT id, count(*) AS degree FROM nodes GROUP BY id
+)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+FROM deg GROUP BY degree
+ORDER BY degree
+"""
+
+
+DUP_GRAPH_DEGREE_SQL = _dup_graph_degree_sql()
+
+
+# ---------------------------------------------------------------------------
+# 17. Event inter-arrival gap profile
+# ---------------------------------------------------------------------------
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap profile (count, mean and max gap in
+    seconds) — the statistic that calibrates sessionization gap
+    thresholds and liveness monitors.
+
+    Scale: one shuffle on user_id for the lag window; the per-user agg
+    reuses the same partitioning (no second exchange).
+    """
+    from .catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            ieee_round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            ieee_round(F.max("gap_s"), 2).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_GAP_STATS_SQL = f"""
+WITH g AS (
+    SELECT user_id,
+           epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+    FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       {sql_ieee_round('avg(gap_s)', 2)} AS avg_gap_s,
+       {sql_ieee_round('max(gap_s)', 2)} AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 R5_ENTRIES: dict[str, Entry] = {
     "text_dedup_tokens": Entry(text_dedup_tokens, TEXT_DEDUP_TOKENS_SQL),
     "dup_passage_docs": Entry(dup_passage_docs, DUP_PASSAGE_SQL),
@@ -1006,4 +1104,6 @@ R5_ENTRIES: dict[str, Entry] = {
     "vocab_coverage": Entry(vocab_coverage, VOCAB_COVERAGE_SQL),
     "source_dup_matrix": Entry(source_dup_matrix, SOURCE_DUP_MATRIX_SQL),
     "embedding_centroids": Entry(embedding_centroids, EMBEDDING_CENTROIDS_SQL),
+    "dup_graph_degree": Entry(dup_graph_degree, DUP_GRAPH_DEGREE_SQL),
+    "events_gap_stats": Entry(events_gap_stats, EVENTS_GAP_STATS_SQL),
 }
