@@ -3975,7 +3975,14 @@ CATALOG.update(R5_ENTRIES)
 
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
-# proved it. This window = (a) the events family, whose pre-r4 green
+# proved it.
+#
+# R6 ROTATION NOTE: after this round the only entries with no driver row
+# are the five registered post-rotation (vocab_coverage,
+# source_dup_matrix, embedding_centroids, dup_graph_degree,
+# events_gap_stats) — lead the next window with them, keep at least one
+# events_table consumer in every window as the shared-helper canary, and
+# fill the rest with the oldest driver records (r4 window first). This window = (a) the events family, whose pre-r4 green
 # rows predate the testdata regeneration that switched events.ts from
 # TIMESTAMP(NANOS) to timestamp[us] (the r4 regression this round
 # fixes), (b) the four entries that have never had a driver row,
