@@ -136,3 +136,33 @@ def test_token_bigram_pmi_min_count_respected(spark):
     out = CATALOG["token_bigram_pmi"].spark_fn(spark, SF)
     assert out.filter(F.col("c_xy") < 5).count() == 0
     assert out.count() <= 50
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = CATALOG["vocab_coverage"].spark_fn(spark, SF).orderBy("rank").collect()
+    assert rows, "empty coverage curve"
+    last = 0.0
+    for r in rows:
+        assert 0.0 < r["cum_coverage"] <= 1.0
+        assert r["cum_coverage"] >= last  # cumulative → nondecreasing
+        last = r["cum_coverage"]
+    counts = [r["c"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # rank order = count desc
+
+
+def test_source_dup_matrix_is_upper_triangle(spark):
+    rows = CATALOG["source_dup_matrix"].spark_fn(spark, SF).collect()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["n_shared_fps"] > 0
+
+
+def test_dup_graph_degree_mass_matches_pairs(spark):
+    """Sum(degree × n_docs) must equal 2 × |pairs| (each pair contributes
+    one degree to each endpoint)."""
+    from pyspark.sql import functions as F
+
+    deg = CATALOG["dup_graph_degree"].spark_fn(spark, SF)
+    mass = deg.select(F.sum(F.col("degree") * F.col("n_docs"))).collect()[0][0]
+    n_pairs = CATALOG["dedup_jaccard_pairs"].spark_fn(spark, SF).count()
+    assert mass == 2 * n_pairs
