@@ -34,12 +34,19 @@ from ..functions.scalar import ieee_round
 
 
 def _ensure_session_conf(spark: SparkSession) -> None:
-    """The driver passes its own SparkSession — pin the two confs results
-    depend on, regardless of how that session was built: UTC timestamps
-    (oracle comparability) and nanos-as-long parquet reads (events.ts is
-    TIMESTAMP(NANOS), which Spark otherwise refuses)."""
+    """The driver passes its own SparkSession — pin the confs results and
+    performance depend on, regardless of how that session was built: UTC
+    timestamps (oracle comparability), nanos-as-long parquet reads
+    (events.ts has shipped as TIMESTAMP(NANOS)), and the
+    InferFiltersFromGenerate exclusion (the inferred size(e)>0 filter
+    below explode re-derives collapsed shingle/gram pipelines per row —
+    quadratic with tokenizers in transform lambdas; see session.py)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -53,6 +53,17 @@ def get_spark(
         # 64 MiB scan splits: keeps task counts sane locally and at scale
         # AQE re-coalesces post-shuffle anyway.
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate infers size(e)>0 below explode(e); when
+        # CollapseProject has folded an expensive expression into the
+        # Generate input (shingle/gram pipelines), that filter re-derives
+        # the WHOLE expression per row — with tokenizers inside transform
+        # lambdas that is quadratic per doc (measured: minhash cold
+        # 11.5s -> 1.8s at sf0.1 with the rule off). The rows it would
+        # skip (empty arrays) are negligible in every workload here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -246,3 +246,27 @@ def test_r5_multires_rollup_single_pass(spark):
     assert plan.count("Expand") == 1, plan
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_catalog_plan_hygiene_all_entries(spark):
+    """Every catalog entry's physical plan must be free of the three
+    expression-level hazards this project has hit (SCALE.md 'Expression-
+    level scale hazards'):
+
+    1. no CartesianProduct anywhere (scalar cross joins must broadcast);
+    2. no tokenizer (split(lower(trim(...)))) nested inside a
+       higher-order-function lambda — per-element re-evaluation. This
+       also covers the nullable-join-key pushdown trap: the inferred
+       isnotnull filter only becomes pathological when the re-derived
+       expression contains lambdas (a scalar split recompute per row in
+       a pushed filter is mild and acceptable — token_bigram_pmi's
+       generate-implied size()>0 filter is the benign example).
+    """
+    for name, entry in CATALOG.items():
+        plan = entry.spark_fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        for line in plan.splitlines():
+            for seg in line.split("lambdafunction")[1:]:
+                assert "split(lower(trim(" not in seg, (
+                    f"{name}: tokenizer inside HOF lambda\n{line[:300]}"
+                )

@@ -14,3 +14,7 @@ def test_session_scale_posture(spark):
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     # nanos events parquet readable (TESTDATA gotcha)
     assert conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    # the inferred size(e)>0 filter below explode re-derives collapsed
+    # shingle/gram pipelines per row (quadratic with tokenizers inside
+    # transform lambdas) — the rule must stay excluded (session.py)
+    assert "InferFiltersFromGenerate" in conf.get("spark.sql.optimizer.excludedRules")
