@@ -100,3 +100,71 @@ def anomaly_monitor_batch(events: DataFrame) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Same operator on the Spark 4 transformWithStateInPandas API
+# ---------------------------------------------------------------------------
+
+try:  # gate: needs Spark >= 4 AND google.protobuf in the Python env
+    # (the TWS state protocol is protobuf-framed between the JVM and the
+    # Python driver worker — absent protobuf the query crashes at init;
+    # this container ships without it, so the runtime test skips there)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class AnomalyProcessor(StatefulProcessor):
+        """transformWithStateInPandas twin of :func:`anomaly_monitor` —
+        identical semantics (sequential per-user running-mean anomaly
+        count), expressed on the successor API: typed value state from a
+        handle instead of a GroupState argument, timers available (unused
+        here), and the same Arrow-batched pandas dataflow.
+
+        The old and new operators share :func:`anomaly_monitor_batch` as
+        their batch oracle; the stream-equivalence test runs BOTH against
+        it, so the two APIs are pinned to byte-identical outputs."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total, n_anom = (
+                self._acc.get() if self._acc.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                for v in pdf["value"]:
+                    mean = total / n if n else None
+                    if mean is not None and v > 3.0 * mean:
+                        n_anom += 1
+                    n += 1
+                    total += float(v)
+            self._acc.update((n, total, n_anom))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "running_mean": [round(total / n, 4) if n else None],
+                    "n_anomalies": [n_anom],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def anomaly_monitor_tws(events: DataFrame) -> DataFrame:
+        """anomaly_monitor on transformWithStateInPandas (Spark 4 API)."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=AnomalyProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+
+    def anomaly_monitor_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0; use "
+            "anomaly_monitor (applyInPandasWithState) instead."
+        )

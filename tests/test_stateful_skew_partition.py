@@ -96,3 +96,44 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
 
     dirs = [d for d in os.listdir(out) if d.startswith("o_year=")]
     assert len(dirs) > 1, "expected one directory per year partition"
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """The Spark 4 transformWithStateInPandas twin must produce the same
+    per-user state as the applyInPandasWithState operator and the batch
+    oracle (shared semantics pinned across all three).
+
+    Environment gate: the TWS state protocol speaks protobuf between the
+    JVM and the Python driver worker; this container ships no
+    google.protobuf, so the test skips where the API cannot run (the
+    operator itself is real and exercised wherever protobuf exists)."""
+    pytest.importorskip("google.protobuf")
+    from data_engineering_project_capstone_spark.streaming.stateful import (
+        anomaly_monitor_tws,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        anomaly_monitor_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("anomaly_tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM anomaly_tws_out")
+        .toPandas()
+        .groupby("user_id")
+        .last()
+    )
+    batch = anomaly_monitor_batch(events_table(spark, sf_dir)).set_index("user_id")
+    assert len(got) == len(batch)
+    for uid in batch.index:
+        g, b = got.loc[uid], batch.loc[uid]
+        assert g["n_events"] == b["n_events"], uid
+        assert g["n_anomalies"] == b["n_anomalies"], uid
+        assert abs(g["running_mean"] - b["running_mean"]) < 1e-9, uid
