@@ -9,11 +9,15 @@ Design for a 100 TB media pipeline (north-star extension):
   stages: per-partition batch iterators, so batch size (not row count)
   bounds memory, and the operators compose into one narrow pipeline stage —
   no shuffle between media ops.
-- The actual codec calls are STUBBED (this container has no image/audio
-  libraries): ``_decode_stub`` parses a deterministic fake header instead.
-  The Spark-side contract — schemas, UDF signatures, batch iteration,
-  partitioning — is real and tested; swap ``_decode_stub`` for
-  PIL/libav/ffmpeg bindings behind the same signature in production.
+- ``decode_payload`` handles REAL public container formats with no
+  third-party libraries: PNG (IHDR), GIF87a/89a, BMP (BITMAPINFOHEADER),
+  JPEG (marker-segment walk to SOF), and WAV (stdlib ``wave`` — a genuine
+  decode, not just header sniffing). The MM01 fixture format remains for
+  deterministic tests. Pixel/sample DECOMPRESSION for the compressed
+  formats (PNG idat inflate, JPEG entropy decode) is out of scope without
+  PIL/libav — swap ``decode_payload`` for PIL/ffmpeg bindings behind the
+  identical ``bytes -> (width, height, n_frames)`` contract when the
+  image libraries are present.
 """
 
 from __future__ import annotations
@@ -64,17 +68,139 @@ def encode_fake_media(width: int, height: int, n_frames: int, body: bytes) -> by
     return _MAGIC + _struct.pack("<HHH", width, height, n_frames) + body
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder: parses the fixture header. Production swaps this for
-    PIL.Image.open / av.open behind the identical (bytes) -> dims contract;
-    raises on foreign formats exactly like a real decoder would."""
-    if payload is None or len(payload) < 10 or payload[:4] != _MAGIC:
-        raise NotImplementedError(
-            "real image/audio decoding not available in this environment; "
-            "payload is not in the MM01 fixture format"
-        )
+def _decode_mm01(payload: bytes) -> tuple[int, int, int]:
+    """Fixture-format decoder (deterministic test container)."""
     w, h, n = _struct.unpack("<HHH", payload[4:10])
     return w, h, n
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int]:
+    """PNG: the IHDR chunk is REQUIRED to be first (PNG spec §11.2.2),
+    so width/height are big-endian u32 at bytes 16..24."""
+    if len(payload) < 24 or payload[12:16] != b"IHDR":
+        raise ValueError("corrupt PNG: missing IHDR")
+    w, h = _struct.unpack(">II", payload[16:24])
+    return w, h, 1
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int]:
+    """GIF87a/89a: logical-screen width/height, little-endian u16 at 6..10;
+    frame count = number of image-separator blocks (0x2C) found by a
+    block-structure walk (correct for well-formed files — 0x2C bytes
+    inside compressed data are skipped, not counted)."""
+    if len(payload) < 10:
+        raise ValueError("corrupt GIF: truncated header")
+    w, h = _struct.unpack("<HH", payload[6:10])
+    # walk: [global color table] then blocks: 0x21 ext (sub-blocks),
+    # 0x2C image descriptor (+ LCT + LZW sub-blocks), 0x3B trailer
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    try:
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                frames += 1
+                lct = payload[pos + 9]
+                pos += 10
+                if lct & 0x80:
+                    pos += 3 * (2 << (lct & 0x07))
+                pos += 1  # LZW min code size
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:
+                raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
+    except IndexError as e:
+        raise ValueError("corrupt GIF: truncated block") from e
+    return w, h, max(frames, 1)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """BMP: BITMAPINFOHEADER width (i32) at 18, height (i32, sign =
+    row order) at 22."""
+    if len(payload) < 26:
+        raise ValueError("corrupt BMP: truncated header")
+    w, h = _struct.unpack("<ii", payload[18:26])
+    return w, abs(h), 1
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int]:
+    """JPEG: walk marker segments from SOI to the first SOF0-SOF15 frame
+    header (skipping DHT/DQT/APPn/etc by their big-endian lengths);
+    height/width are u16 at frame-header bytes 3..7."""
+    pos = 2  # past SOI
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers, no length
+            continue
+        seg_len = _struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = _struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return w, h, 1
+        if marker == 0xDA:  # start of scan — no SOF seen, give up
+            break
+        pos += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOF marker before scan data")
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """WAV via stdlib ``wave`` — a genuine decode (chunk parse + PCM
+    validation), not header sniffing. Convention for the rectangular
+    DECODED_SCHEMA: width = sample rate (Hz), height = channel count,
+    n_frames = PCM frame count."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+        return wf.getframerate(), wf.getnchannels(), wf.getnframes()
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, int]:
+    """Dispatch on container magic → (width, height, n_frames).
+
+    Real formats handled with zero third-party deps: PNG, GIF, BMP, JPEG,
+    WAV (stdlib ``wave``). The MM01 fixture container is kept for
+    deterministic tests. Foreign/unknown formats raise — same contract a
+    PIL/libav-backed decoder would have."""
+    if payload is None or len(payload) < 10:
+        raise ValueError("payload too short to decode")
+    head = bytes(payload[:12])
+    if head[:4] == _MAGIC:
+        return _decode_mm01(payload)
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if head[:2] == b"BM":
+        return _decode_bmp(payload)
+    if head[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        "unrecognized media container (supported here: PNG, GIF, BMP, JPEG, "
+        "WAV, MM01 fixture); full codec coverage needs PIL/libav bindings "
+        "behind this same bytes -> dims contract"
+    )
+
+
+# backwards-compatible alias (pre-round-6 name; tests and docs referenced it)
+_decode_stub = decode_payload
 
 
 def decode_media(df: DataFrame) -> DataFrame:

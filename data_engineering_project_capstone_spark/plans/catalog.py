@@ -43,10 +43,15 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     quadratic with tokenizers in transform lambdas; see session.py)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # append, don't overwrite: the caller's session may carry its own
+    # optimizer exclusions, and clobbering them would silently change
+    # the caller's plans outside this catalog
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    existing = spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
+    rules = [r for r in (x.strip() for x in existing.split(",")) if r]
+    if rule not in rules:
+        rules.append(rule)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1342,7 +1347,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-bucket verify however intersects xxhash64-hashed shingle
     arrays, not the strings — intersection/union SIZES (and hence the
     Jaccard value the oracle checks) are hash-invariant, and long-array
-    intersects cut the dominant in-bucket cost roughly in half."""
+    intersects cut the dominant in-bucket cost roughly in half.
+
+    Hot-bucket cap: mirrors the production operator's ``max_bucket``
+    (operators/dedup.py jaccard_pairs) with the identical
+    ``count(*) over (partition by block) <= 1000`` filter on BOTH
+    engines — whole blocks are dropped, never individual rows, so the
+    two sides stay deterministic and comparable. Without it a single
+    pathological shared shingle makes the block quadratic at 100 TB."""
+    max_bucket = 1000
     docs = t(spark, sf_dir, "documents")
     from ..operators.dedup import shingles_from_tokens
     from ..operators.text import tokens
@@ -1372,6 +1385,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("shh"),
         )
     )
+    sh = sh.withColumn(
+        "_bsz", F.count(F.lit(1)).over(Window.partitionBy("block"))
+    ).filter(F.col("_bsz") <= max_bucket)
     a = sh.select("block", F.col("id").alias("id_a"), F.col("shh").alias("sh_a"))
     b = sh.select("block", F.col("id").alias("id_b"), F.col("shh").alias("sh_b"))
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
@@ -1402,6 +1418,11 @@ WITH sh AS (
                      string_split_regex(lower(trim(text)), '\\s+') AS toks
               FROM documents)
     )
+),
+sh_capped AS (
+    SELECT id, shingles, block
+    FROM (SELECT sh.*, count(*) OVER (PARTITION BY block) AS bsz FROM sh)
+    WHERE bsz <= 1000
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        {sql_ieee_round(
@@ -1410,7 +1431,7 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            "- len(list_intersect(a.shingles, b.shingles)), 1)",
            4,
        )} AS jaccard
-FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+FROM sh_capped a JOIN sh_capped b ON a.block = b.block AND a.id < b.id
 WHERE {sql_ieee_round(
            "len(list_intersect(a.shingles, b.shingles)) * 1.0 / "
            "greatest(len(a.shingles) + len(b.shingles) "

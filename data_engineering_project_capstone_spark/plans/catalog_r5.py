@@ -186,9 +186,14 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = uni.agg(F.sum("c_tok").alias("n")).select("n")
     starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
+    # try_element_at, not element_at: ANSI mode (default in Spark 4) makes
+    # element_at THROW on out-of-bounds, and a 1-token doc yields
+    # starts=[1] with toks[2] unset. try_element_at returns NULL there,
+    # which the w2 <> '' filter drops — exactly what the DuckDB twin does
+    # (toks[i+1] out of range is NULL in DuckDB).
     grams = F.transform(
-        starts, lambda i: F.struct(F.element_at("toks", i).alias("w1"),
-                                   F.element_at("toks", i + 1).alias("w2"))
+        starts, lambda i: F.struct(F.try_element_at("toks", i).alias("w1"),
+                                   F.try_element_at("toks", i + 1).alias("w2"))
     )
     big = (
         tok.select(F.explode(grams).alias("g"))
@@ -419,8 +424,13 @@ WITH existing AS (
     SELECT doc_id, source, md5(lower(trim(text))) AS fp
     FROM documents WHERE source <> 'src0'
 ), kept AS (
+    -- NOT EXISTS, not NOT IN: if text is ever NULL the fingerprint is
+    -- NULL, and NOT IN's three-valued logic would drop EVERY row while
+    -- the Spark side's left_anti join keeps NULL-fp rows. NOT EXISTS
+    -- with an equality predicate has exactly anti-join semantics.
     SELECT source, count(*) AS n_kept
-    FROM new WHERE fp NOT IN (SELECT fp FROM existing)
+    FROM new
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = new.fp)
     GROUP BY source
 )
 SELECT n.source, count(*) AS n_new,
@@ -483,8 +493,10 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a 3-value hot key
     (l_returnflag holds 600k rows in 3 groups): phase 1 aggregates on
     (key, salt-16) so every core works, phase 2 folds the 48 partials.
-    Result is bit-identical to the direct group-by (the oracle runs the
-    direct form).
+    Counts are bit-identical to the direct group-by; the double sums are
+    value-identical AFTER the entry's 2dp rounding (two-phase summation
+    order differs from the direct fold, so raw doubles can differ in
+    the last ulps). The oracle runs the direct form.
 
     Scale: this is THE pattern for power-law keys — phase-1 shuffle
     fans the hot key across 16 partitions; phase-2 shuffle moves only

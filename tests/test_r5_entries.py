@@ -46,18 +46,36 @@ def test_sample_hash_quota_at_most_k_per_stratum(spark):
 
 
 def test_skew_salted_agg_equals_direct(spark):
-    """The salted two-phase agg must be value-identical to the direct
-    group-by it replaces."""
+    """The salted two-phase agg must match the direct group-by it
+    replaces: counts exactly, double sums after the entry's own 2dp
+    rounding (two-phase summation order differs from the direct fold,
+    so raw doubles can differ in the last ulps — the rounded values
+    are the contract)."""
+    from data_engineering_project_capstone_spark.functions.scalar import ieee_round
+
     out = CATALOG["skew_salted_agg"].spark_fn(spark, SF)
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     direct = (
         li.groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_rows"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            ieee_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            ieee_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_revenue"),
+        )
         .collect()
     )
-    got = {r["l_returnflag"]: r["n_rows"] for r in out.collect()}
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["sum_qty"], r["sum_revenue"])
+        for r in out.collect()
+    }
     for r in direct:
-        assert got[r["l_returnflag"]] == r["n_rows"]
+        assert got[r["l_returnflag"]] == (
+            r["n_rows"],
+            r["sum_qty"],
+            r["sum_revenue"],
+        )
 
 
 def test_embedding_quantize_error_bound(spark):
