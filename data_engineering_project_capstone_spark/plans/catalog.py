@@ -4073,11 +4073,93 @@ _DRIVER_WINDOW_R5 = [
     "string_functions",
 ]
 assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
+
+# Round-6 driver window (the driver evaluates queries()[:50] in
+# registration order).
+#
+# Composition, per the R6 ROTATION NOTE above:
+# (a) the five entries registered after the r5 cutoff — the only catalog
+#     entries with NO driver row in any round; both-SF oracle
+#     differentials ran green before this rotation (round-6 session).
+# (b) events_session_window — the shared-helper canary: an events_table
+#     consumer with a green r5 row, so a regression in the shared events
+#     normalization is attributable to the helper, not to a new entry.
+#     (events_gap_stats in (a) also consumes events_table, but has no
+#     prior green row to anchor on.)
+# (c) 44 of the 48 r4-window entries whose latest driver record is r4 —
+#     the oldest records in the ledger. gapfill_resample is excluded
+#     (re-verified r5); four pure-SQL entries with direct local-sweep
+#     backstops and in-window siblings are deferred to r7 for space:
+#     subquery_scalar_avg (sibling subquery_correlated_avg stays),
+#     agg_having, set_intersect, window_moving_avg (window_range_frame
+#     and window_ntile_pctrank stay).
+#
+# R7 ROTATION NOTE: after this round every catalog entry has a driver
+# row; the oldest records will be the r5 window (events family + the ten
+# round-5 entries + r3 re-confirmations) plus the four entries deferred
+# above — lead with those four, keep an events_table consumer as canary,
+# fill with the r5 window.
+_DRIVER_WINDOW_R6 = [
+    # (a) never driver-checked
+    "vocab_coverage",
+    "source_dup_matrix",
+    "embedding_centroids",
+    "dup_graph_degree",
+    "events_gap_stats",
+    # (b) shared-helper canary (events_table; green r5 row)
+    "events_session_window",
+    # (c) oldest driver records — r4 window
+    "check_minhash_containment",
+    "check_simhash_invariants",
+    "check_lsh_topk",
+    "check_ivf_topk",
+    "check_cluster_consistency",
+    "check_multimodal",
+    "pack_sequences",
+    "source_token_budget",
+    "split_no_leakage",
+    "decontaminate",
+    "tfidf_top_terms",
+    "pii_redact",
+    "cdc_apply_changes",
+    "fuzzy_name_pairs",
+    "text_gopher_filters",
+    "mix_weights",
+    "chunk_documents",
+    "text_dup_bigrams",
+    "token_histogram",
+    "ngram_counts",
+    "clip_outliers",
+    "text_char_entropy",
+    "sample_stratified",
+    "posexplode_tokens",
+    "subquery_correlated_avg",
+    "window_ntile_pctrank",
+    "agg_stats_funcs",
+    "agg_conditional",
+    "split_assign",
+    "profile_columns",
+    "large_order_customers",
+    "recursive_month_spine",
+    "window_value_functions",
+    "agg_string_concat",
+    "join_null_safe",
+    "array_higher_order",
+    "agg_distinct_twophase",
+    "window_range_frame",
+    "agg_boolean_funcs",
+    "ansi_safe_casts",
+    "union_schema_evolution",
+    "array_explode_agg",
+    "agg_grouping_sets",
+    "window_lag_lead",
+]
+assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R5,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R5)),
+        *_DRIVER_WINDOW_R6,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R6)),
     )
 }
 

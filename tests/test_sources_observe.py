@@ -45,6 +45,18 @@ def test_read_avro_gated(spark, tmp_path):
         read_avro(spark, str(tmp_path / "none.avro"))
 
 
+def test_read_sas_connector_gated(spark, tmp_path):
+    """The raw saurfang-connector branch executes its documented failure
+    path where the jar is absent (round-6 audit: no sas7bdat/saurfang jar
+    anywhere in the image, no ivy cache, no network to fetch one — the
+    convert-once ingest_sas route in test_sas_ingest.py is the tested
+    production path)."""
+    from data_engineering_project_capstone_spark.sources.readers import read_sas
+
+    with pytest.raises(NotImplementedError, match="sas7bdat connector"):
+        read_sas(spark, str(tmp_path / "none.sas7bdat"))
+
+
 def test_observe_counts_no_extra_pass(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     audited, obs = observe_counts(

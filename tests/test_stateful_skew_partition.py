@@ -106,7 +106,11 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     Environment gate: the TWS state protocol speaks protobuf between the
     JVM and the Python driver worker; this container ships no
     google.protobuf, so the test skips where the API cannot run (the
-    operator itself is real and exercised wherever protobuf exists)."""
+    operator itself is real and exercised wherever protobuf exists).
+    Round-6 audit: google.protobuf confirmed absent and uninstallable
+    here (no pip/network in the environment) — the skip is pinned until
+    a protobuf-equipped CI leg exists; the applyInPandasWithState twin
+    below covers the shared semantics against the batch oracle."""
     pytest.importorskip("google.protobuf")
     from data_engineering_project_capstone_spark.streaming.stateful import (
         anomaly_monitor_tws,
