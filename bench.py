@@ -47,6 +47,10 @@ HEADLINE = [
     # r5 optimization targets, kept timed so they can't silently regress
     "dedup_jaccard_pairs",    # non-null block key (isnotnull-pushdown fix)
     "dedup_embedding_cosine", # norm-column pairwise cosine (3x fix)
+    # r6 additions: corpus-statistics entries (all count-shuffle shapes)
+    "kl_source_drift",        # per-source token-distribution KL drift
+    "dsir_importance",        # DSIR log-ratio importance weights
+    "exact_substr_spans",     # window-hash duplicated-span profiling
 ]
 
 

@@ -4001,6 +4001,10 @@ from .catalog_r5 import R5_ENTRIES  # noqa: E402  (needs Entry/t defined above)
 
 CATALOG.update(R5_ENTRIES)
 
+from .catalog_r6 import R6_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4094,11 +4098,13 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     agg_having, set_intersect, window_moving_avg (window_range_frame
 #     and window_ntile_pctrank stay).
 #
-# R7 ROTATION NOTE: after this round every catalog entry has a driver
-# row; the oldest records will be the r5 window (events family + the ten
-# round-5 entries + r3 re-confirmations) plus the four entries deferred
-# above — lead with those four, keep an events_table consumer as canary,
-# fill with the r5 window.
+# R7 ROTATION NOTE: lead with the entries that have no driver row after
+# this round — the three round-6 registrations (kl_source_drift,
+# dsir_importance, exact_substr_spans; both-SF oracle-verified locally)
+# and the four r4-window deferrals below (subquery_scalar_avg,
+# agg_having, set_intersect, window_moving_avg) — keep an events_table
+# consumer as canary, fill the rest with the oldest records (the r5
+# window: events family + round-5 entries + r3 re-confirmations).
 _DRIVER_WINDOW_R6 = [
     # (a) never driver-checked
     "vocab_coverage",

@@ -63,12 +63,43 @@ def _rowset(rows, cols):
     )
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark, request):
+    """Threaded prefetch of every entry's Spark result (cols, rows).
+
+    Concurrent actions on one SparkSession from a worker pool are a
+    supported Spark pattern; the serial alternative spends most of its
+    ~2 min in scheduler idle time. Only entries actually selected for
+    this run (honoring -k) are prefetched, so targeted runs stay fast.
+    Failures are stored and re-raised inside the owning test so
+    attribution is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    selected = {
+        item.callspec.params["name"]
+        for item in request.session.items
+        if item.function.__name__ == "test_catalog_matches_oracle"
+        and hasattr(item, "callspec")
+    }
+
+    def run(name):
+        try:
+            sdf = CATALOG[name].spark_fn(spark, SF_DIR)
+            return name, (sdf.columns, [tuple(r) for r in sdf.collect()])
+        except Exception as exc:
+            return name, exc
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(run, sorted(selected)))
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
-def test_catalog_matches_oracle(spark, ddb, name):
+def test_catalog_matches_oracle(spark, ddb, spark_results, name):
     entry = CATALOG[name]
-    sdf = entry.spark_fn(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    got = spark_results[name]
+    if isinstance(got, Exception):
+        raise got
+    spark_cols, spark_rows = got
 
     if entry.sql is None:
         assert len(spark_rows) >= 0  # rows-only check

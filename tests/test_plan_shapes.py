@@ -16,6 +16,19 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.fixture(scope="module")
+def all_plans(spark) -> dict[str, str]:
+    """One threaded pass building every catalog entry's physical plan,
+    shared by the catalog-wide hygiene sweeps (plan construction is
+    JVM-side and overlaps well; two serial sweeps cost ~40 s)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(
+            pool.map(lambda n: (n, plan_of(spark, n)), sorted(CATALOG))
+        )
+
+
 def formatted_plan_of(spark, name: str) -> str:
     import contextlib
     import io
@@ -69,7 +82,7 @@ def test_hash_aggregate_partial_final(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_no_python_udf_in_hot_paths(spark):
+def test_no_python_udf_in_hot_paths(all_plans):
     """Every catalog plan must stay JVM-side (whole-stage codegen) —
     Python only in the explicitly-gated multimodal stubs (mapInPandas)."""
     allowed_python = {
@@ -77,11 +90,9 @@ def test_no_python_udf_in_hot_paths(spark):
         "multimodal_features",
         "check_multimodal",  # invariant check over the mapInPandas stages
     }
-    for name, entry in CATALOG.items():
+    for name, plan in all_plans.items():
         if name in allowed_python:
             continue
-        df = entry.spark_fn(spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
             assert marker not in plan, f"{name}: {marker} in hot path"
 
@@ -248,7 +259,7 @@ def test_r5_multires_rollup_single_pass(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_catalog_plan_hygiene_all_entries(spark):
+def test_catalog_plan_hygiene_all_entries(all_plans):
     """Every catalog entry's physical plan must be free of the three
     expression-level hazards this project has hit (SCALE.md 'Expression-
     level scale hazards'):
@@ -262,11 +273,33 @@ def test_catalog_plan_hygiene_all_entries(spark):
        a pushed filter is mild and acceptable — token_bigram_pmi's
        generate-implied size()>0 filter is the benign example).
     """
-    for name, entry in CATALOG.items():
-        plan = entry.spark_fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         for line in plan.splitlines():
             for seg in line.split("lambdafunction")[1:]:
                 assert "split(lower(trim(" not in seg, (
                     f"{name}: tokenizer inside HOF lambda\n{line[:300]}"
                 )
+
+
+def test_r6_kl_and_dsir_broadcast_vocab(spark):
+    """The vocab-sized sides (corpus counts / log-ratio table / scalar
+    totals) must broadcast — a SortMergeJoin here would shuffle the
+    exploded token stream a second time for no reason."""
+    for name in ("kl_source_drift", "dsir_importance"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_r6_exact_substr_window_hashes_only_on_shuffle(spark):
+    """The W-token window STRINGS must never ride a shuffle — only their
+    md5 hashes: no Exchange input may carry a concat_ws of the token
+    array (the hash is computed map-side in stage 1)."""
+    plan = plan_of(spark, "exact_substr_spans")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "concat_ws" not in line, line[:300]
