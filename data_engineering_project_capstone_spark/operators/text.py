@@ -25,10 +25,19 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def _text_col(text: Column | str) -> Column:
+    """Resolve + apply the engine-wide NULL policy: NULL text reads as ''
+    at every tokenization/fingerprint boundary. Without it Spark and the
+    DuckDB oracle diverge structurally on NULL documents (Spark keeps a
+    NULL-array row where DuckDB's unnest(NULL) drops the doc) — see
+    tests/test_degenerate_docs.py."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(c, F.lit(""))
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenizer (lowercased)."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.trim(c)), "\\s+")
+    return F.split(F.lower(F.trim(_text_col(text))), "\\s+")
 
 
 def token_count(text: Column | str) -> Column:
@@ -39,8 +48,9 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     """BPE-ish token estimate: count word-piece-like units — runs of
     letters, runs of digits, or single non-space symbols. A deterministic
     stand-in for a real tokenizer's token count (~GPT-style regex)."""
-    c = F.col(text) if isinstance(text, str) else text
-    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    pieces = F.regexp_extract_all(
+        _text_col(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
     return F.size(pieces).cast("long")
 
 
@@ -72,7 +82,7 @@ def quality_score(text: Column | str) -> Column:
     where len_score saturates at 200 tokens, alpha_ratio is the fraction
     of alphabetic chars, and repetition is 1 - unique/total tokens.
     """
-    c = F.col(text) if isinstance(text, str) else text
+    c = _text_col(text)
     toks = tokens(c)
     n_tok = F.size(toks).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
@@ -90,8 +100,7 @@ def quality_score(text: Column | str) -> Column:
 def char_shingles(text: Column | str, n: int = 8) -> Column:
     """Distinct character n-grams of the normalized text (fingerprinting
     unit for winnowing-style near-dup detection)."""
-    c = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(_text_col(text))), "\\s+", " ")
     starts = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(F.transform(starts, lambda i: norm.substr(i, F.lit(n))))
 

@@ -746,7 +746,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + length stats per document (whitespace tokenizer),
     all JVM-side — no UDF."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), "\\s+")
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), "\\s+")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_computed"),
@@ -758,8 +758,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_TOKEN_STATS_SQL = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_computed,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(coalesce(text, '')), '\\s+'))) AS BIGINT)
            AS n_unique_tokens
 FROM documents
 """
@@ -769,13 +769,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup fingerprint: md5 of normalized text (lowercase, collapsed
     whitespace). The grouping key for exact dedup at any scale."""
     docs = t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), "\\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 
@@ -784,7 +784,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via fingerprint group-by: canonical doc (min id) per
     distinct content + dup count. Pure shuffle-on-hash — scales linearly."""
     docs = t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), "\\s+", " ")
     return (
         docs.select("doc_id", F.md5(norm).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -796,7 +796,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
 FROM documents
@@ -1231,7 +1231,7 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the corpus — the classic text-pipeline explode shape)."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok")
+        F.explode(F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), "\\s+")).alias("tok")
     )
     return (
         toks.groupBy("tok")
@@ -1244,7 +1244,7 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ARRAY_EXPLODE_SQL = """
 SELECT tok, count(*) AS freq
 FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS tok
     FROM documents
 )
 GROUP BY tok
@@ -1270,7 +1270,7 @@ def _lang_hits_sql(lang_words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in lang_words)
     return (
         "len(list_intersect(list_distinct("
-        "string_split_regex(lower(trim(text)), '\\s+')), [" + arr + "]))"
+        "string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')), [" + arr + "]))"
     )
 
 
@@ -1308,10 +1308,10 @@ SELECT doc_id,
        )} AS quality
 FROM (
     SELECT doc_id,
-           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n_tok,
-           CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_uniq,
-           CAST(length(text) AS DOUBLE) AS n_chars,
-           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+           CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'))) AS DOUBLE) AS n_uniq,
+           CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
     FROM documents
 )
 """
@@ -1322,12 +1322,12 @@ def text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_ish_token_count
 
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+    return docs.select("doc_id", bpe_ish_token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_bpe_tokens"))
 
 
 TEXT_BPE_COUNT_SQL = r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
@@ -1415,7 +1415,7 @@ WITH sh AS (
                    i -> array_to_string(toks[i:i+2], ' '))),
                    s -> s <> '') AS shingles
         FROM (SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
               FROM documents)
     )
 ),
@@ -1726,7 +1726,7 @@ SELECT count(*) FROM (
                        i -> array_to_string(toks[i:i+2], ' '))),
                        s -> s <> '') AS shingles
             FROM (SELECT doc_id,
-                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
                   FROM documents)
         )
     )
@@ -2092,7 +2092,7 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
-        "source", "doc_id", token_count("text").alias("n_tok"), F.md5("text").alias("h")
+        "source", "doc_id", token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"), F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
     )
     budget = 800
     cum = chunked_running_offset(toks, "source", "h", "doc_id", "n_tok", out_col="cum")
@@ -2111,8 +2111,8 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_TOKEN_BUDGET_SQL = r"""
 WITH toks AS (
     SELECT source, doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS n_tok,
-           md5(text) AS h
+           len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
+           md5(coalesce(text, '')) AS h
     FROM documents
 ), c AS (
     SELECT source, doc_id, n_tok,
@@ -2136,7 +2136,7 @@ def text_dup_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+        "doc_id", F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+").alias("toks")
     )
     starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 2)))
@@ -2158,7 +2158,7 @@ _DUP_BIGRAM_EXPR = (
 TEXT_DUP_BIGRAMS_SQL = (
     r"""
 WITH t AS (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks
     FROM documents
 ), g AS (
     SELECT doc_id,
@@ -2182,9 +2182,9 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import token_count
 
     docs = t(spark, sf_dir, "documents")
-    bucket = F.floor(token_count("text") / 50).cast("long")
+    bucket = F.floor(token_count(F.coalesce(F.col("text"), F.lit(""))) / 50).cast("long")
     return (
-        docs.select(bucket.alias("bucket"), token_count("text").alias("n_tok"))
+        docs.select(bucket.alias("bucket"), token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
         .select(
@@ -2199,7 +2199,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_HISTOGRAM_SQL = r"""
 WITH t AS (
-    SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents
+    SELECT len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok FROM documents
 )
 SELECT CAST(floor(n_tok / 50) AS BIGINT) AS bucket,
        CAST(floor(n_tok / 50) AS BIGINT) * 50 AS lo_tokens,
@@ -2372,7 +2372,7 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     it per element (measured 10× slower)."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+").alias("toks")
     )
     starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 2)))
@@ -2388,7 +2388,7 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_COUNTS_SQL = r"""
 WITH t AS (
-    SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+    SELECT string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks FROM documents
 ), g AS (
     SELECT unnest(list_transform(
         range(1, greatest(len(toks) - 1, 1) + 1),
@@ -2526,7 +2526,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine."""
     docs = t(spark, sf_dir, "documents")
     chars = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("c")
+        "doc_id", F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "")).alias("c")
     ).filter(F.col("c") != "")
     counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
     totals = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
@@ -2603,7 +2603,7 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB has no WITH ORDINALITY; the oracle zips positions in via
     list_transform(range(...)) before unnesting."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
     return (
         docs.filter(F.col("doc_id") < 50)
         .select("doc_id", F.posexplode(toks).alias("pos", "token"))
@@ -2615,7 +2615,7 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 POSEXPLODE_TOKENS_SQL = r"""
 WITH t AS (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+    SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks
     FROM documents WHERE doc_id < 50
 ), z AS (
     SELECT doc_id,
@@ -2823,7 +2823,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        F.explode(F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
     doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
@@ -2856,7 +2856,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_TOP_TERMS_SQL = (
     r"""
 WITH toks AS (
-    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    SELECT doc_id, unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS term
     FROM documents
 ), tok AS (
     SELECT * FROM toks WHERE term <> ''
@@ -3230,8 +3230,17 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically_increasing_id). Map-only narrow plan; the tiny groupBy
     is the only shuffle."""
     docs = t(spark, sf_dir, "documents")
+    # NULL text content-addresses as '' (engine-wide NULL policy): the
+    # DuckDB twin's concat('0x', md5(NULL)) otherwise degenerates to the
+    # unparseable literal '0x' while Spark's NULL bucket falls through to
+    # 'test' — a crash on one side, a silent split on the other.
     bucket = (
-        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 100
+        F.conv(
+            F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
     )
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -3254,8 +3263,8 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
-    SELECT CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) % 100
-               AS bucket,
+    SELECT CAST(concat('0x', substring(md5(coalesce(text, '')), 1, 15))
+                AS BIGINT) % 100 AS bucket,
            n_chars
     FROM documents
 )
@@ -3404,7 +3413,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; at scale a skewed stratum routes through the two-phase top-k
     (operators/topk.py) instead of a single whole-partition window."""
     docs = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), "doc_id")
+    w = Window.partitionBy("lang", "source").orderBy(F.md5(F.coalesce(F.col("text"), F.lit(""))), "doc_id")
     return (
         docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
@@ -3418,7 +3427,7 @@ SELECT lang, source, doc_id, CAST(rk AS BIGINT) AS rk
 FROM (
     SELECT lang, source, doc_id,
            row_number() OVER (
-               PARTITION BY lang, source ORDER BY md5(text), doc_id
+               PARTITION BY lang, source ORDER BY md5(coalesce(text, '')), doc_id
            ) AS rk
     FROM documents
 )
@@ -3442,7 +3451,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = 256
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
-        "lang", "doc_id", token_count("text").alias("n_tok"), F.md5("text").alias("h")
+        "lang", "doc_id", token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"), F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
     )
     packed = chunked_running_offset(
         toks, "lang", "h", "doc_id", "n_tok", out_col="cum"
@@ -3466,8 +3475,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQUENCES_SQL = r"""
 WITH toks AS (
     SELECT lang, doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS n_tok,
-           md5(text) AS h
+           len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
+           md5(coalesce(text, '')) AS h
     FROM documents
 ), c AS (
     SELECT lang, doc_id, n_tok,
@@ -3493,9 +3502,9 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-row expressions — narrow map stage, no shuffle, whole-stage
     codegen end to end; trivially scales (the only cost is the scan)."""
     docs = t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     n_words = F.size(words).cast("long")
-    squeezed = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    squeezed = F.length(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", ""))
     mean_wl = ieee_round(squeezed / n_words, 6)
     dup_frac = ieee_round(
         1.0 - F.size(F.array_distinct(words)) / n_words, 6
@@ -3514,9 +3523,9 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_SQL_WORDS = r"string_split_regex(trim(text), '\s+')"
+_SQL_WORDS = r"string_split_regex(trim(coalesce(text, '')), '\s+')"
 _SQL_MEAN_WL = sql_ieee_round(
-    r"length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(" + _SQL_WORDS + ")", 6
+    r"length(regexp_replace(coalesce(text, ''), '\s+', '', 'g')) * 1.0 / len(" + _SQL_WORDS + ")", 6
 )
 _SQL_DUP_FRAC = sql_ieee_round(
     "1.0 - len(list_distinct(" + _SQL_WORDS + ")) * 1.0 / len(" + _SQL_WORDS + ")", 6
@@ -3548,7 +3557,7 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     strata = (
-        docs.select("lang", "source", token_count("text").alias("n_tok"))
+        docs.select("lang", "source", token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"))
         .groupBy("lang", "source")
         .agg(F.sum("n_tok").alias("total_tokens"))
     )
@@ -3594,7 +3603,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole check into a map-side semi-join."""
     docs = t(spark, sf_dir, "documents")
     grams = (
-        docs.select("doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        docs.select("doc_id", "source", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w"))
         .filter(F.size("w") >= 5)
         .select(
             "doc_id",
@@ -3619,9 +3628,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SQL = r"""
 WITH w AS (
-    SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+    SELECT doc_id, source, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
     FROM documents
-    WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+    WHERE len(string_split_regex(trim(coalesce(text, '')), '\s+')) >= 5
 ), g AS (
     SELECT DISTINCT doc_id, source,
            array_to_string(list_slice(w, i, i + 4), ' ') AS g
@@ -3716,7 +3725,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_idx is derived arithmetically from the start offset so it is
     stable under any row or partition order."""
     docs = t(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), r"\s+")
+    w = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     exploded = (
         docs.select("doc_id", w.alias("w"))
         .select(
@@ -3737,7 +3746,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_DOCUMENTS_SQL = r"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
 ), s AS (
     SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 10, 1), 40)) AS s
     FROM w

@@ -35,11 +35,18 @@ from .catalog import Entry, sql_ieee_round, t
 def _toks():
     """Whitespace tokens of the lowercased doc text. Built lazily — Column
     construction needs an active SparkContext, which doesn't exist at
-    import time."""
-    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    import time.
+
+    NULL policy (engine-wide, see tests/test_degenerate_docs.py): NULL
+    text tokenizes as the empty string. Without the coalesce the engines
+    diverge structurally — Spark keeps a NULL-token-array row in per-row
+    plans while DuckDB's ``unnest(NULL)`` silently drops the document."""
+    return F.split(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+    )
 
 
-_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_TOKS = r"string_split_regex(lower(trim(coalesce(text, ''))), '\s+')"
 
 
 # ---------------------------------------------------------------------------
@@ -389,12 +396,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     content fingerprint is unseen — the anti-join every rolling crawl
     pipeline runs per batch. Reports kept/dropped per new source.
 
-    Scale: fingerprint anti-join is one hash shuffle on md5(text) —
+    Scale: fingerprint anti-join is one hash shuffle on md5(coalesce(text, '')) —
     or, when the new batch ≪ corpus, flip the build side so the batch
     broadcasts. Fingerprints (not full text) move through the shuffle.
     """
     docs = t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    fp = F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))))
     existing = docs.filter(F.col("source") == "src0").select(fp.alias("fp")).distinct()
     new = docs.filter(F.col("source") != "src0").select("doc_id", "source", fp.alias("fp"))
     kept = new.join(existing, "fp", "left_anti")
@@ -419,9 +426,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_INCREMENTAL_SQL = """
 WITH existing AS (
-    SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE source = 'src0'
+    SELECT DISTINCT md5(lower(trim(coalesce(text, '')))) AS fp FROM documents WHERE source = 'src0'
 ), new AS (
-    SELECT doc_id, source, md5(lower(trim(text))) AS fp
+    SELECT doc_id, source, md5(lower(trim(coalesce(text, '')))) AS fp
     FROM documents WHERE source <> 'src0'
 ), kept AS (
     -- NOT EXISTS, not NOT IN: if text is ever NULL the fingerprint is
@@ -560,7 +567,7 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac = 1.0 - F.size(F.array_distinct(grams)) / F.greatest(
         F.size(grams).cast("double"), F.lit(1.0)
     )
-    mean_wlen = (F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", ""))
+    mean_wlen = (F.length(F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", ""))
                  / F.greatest(n_tok, F.lit(1.0)))
     score = ieee_round(
         0.5 * F.least(n_tok / 100.0, F.lit(1.0))
@@ -591,7 +598,7 @@ _QC_GRAMS = (
 )
 _QC_DUP = rf"(1.0 - len(list_distinct({_QC_GRAMS})) * 1.0 / greatest(len({_QC_GRAMS}), 1))"
 _QC_WLEN = (
-    rf"(length(regexp_replace(lower(trim(text)), '\s+', '', 'g')) * 1.0"
+    rf"(length(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', '', 'g')) * 1.0"
     rf" / greatest({_QC_NTOK}, 1.0))"
 )
 _QC_SCORE = sql_ieee_round(
@@ -899,7 +906,7 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     fp = (
         docs.select(
-            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "source"
+            F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))).alias("fp"), "source"
         )
         .distinct()
     )
@@ -916,7 +923,7 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_DUP_MATRIX_SQL = """
 WITH fp AS (
-    SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents
+    SELECT DISTINCT md5(lower(trim(coalesce(text, '')))) AS fp, source FROM documents
 )
 SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_fps
 FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
