@@ -4108,8 +4108,9 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the three round-6 registrations (kl_source_drift,
-# dsir_importance, exact_substr_spans; both-SF oracle-verified locally)
+# this round — the four round-6 registrations (kl_source_drift,
+# dsir_importance, exact_substr_spans, curation_pipeline; both-SF
+# oracle-verified locally)
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table
 # consumer as canary, fill the rest with the oldest records (the r5

@@ -303,8 +303,121 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. End-to-end curation pipeline (composite)
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation chain as ONE dataflow — the composability
+    proof that the catalog's stages snap together without materialization
+    barriers:
+
+    1. quality gates (Gopher-style word-count / mean-word-length /
+       duplicate-word-fraction keeps);
+    2. exact dedup, BEST-wins: one survivor per content fingerprint,
+       highest quality score (doc_id tiebreak) — not first-wins, so the
+       dedup pass actively improves the corpus;
+    3. deterministic per-lang quota (first 200 docs in md5(doc_id)
+       hash order — reproducible across reruns, cluster sizes, and row
+       order);
+    4. mixture report: per (lang, source) doc and token counts.
+
+    Scale: stages 1-2 are a narrow map + one fingerprint-keyed window;
+    stage 3 is a per-lang window over already-gated survivors; stage 4 a
+    strata-sized agg. Catalyst pipelines all four into ~three shuffles
+    total; nothing materializes between stages.
+    """
+    from ..operators.text import quality_score, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.size(words).cast("long")
+    mean_wl = F.length(F.regexp_replace(txt, r"\s+", "")) / n_words
+    dup_frac = 1.0 - F.size(F.array_distinct(words)) / n_words.cast("double")
+    gated = docs.filter(
+        (n_words >= 20) & (mean_wl >= 2.0) & (mean_wl <= 10.0) & (dup_frac <= 0.8)
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.lower(F.trim(txt))).alias("fp"),
+        quality_score(txt).alias("q"),
+        token_count(txt).alias("n_tok"),
+    )
+    from pyspark.sql import Window
+
+    best = F.row_number().over(
+        Window.partitionBy("fp").orderBy(F.desc("q"), "doc_id")
+    )
+    deduped = gated.withColumn("_rn", best).filter(F.col("_rn") == 1).drop("_rn")
+    quota = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    sampled = deduped.withColumn("_qn", quota).filter(F.col("_qn") <= 200)
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CURATION_PIPELINE_SQL = rf"""
+WITH gated AS (
+    SELECT doc_id, lang, source,
+           md5(lower(trim(coalesce(text, '')))) AS fp,
+           {sql_ieee_round(
+               "0.4 * least(len(" + _SQL_TOKS + ") / 200.0, 1.0) "
+               "+ 0.3 * (CASE WHEN length(coalesce(text, '')) > 0 THEN "
+               "length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) "
+               "* 1.0 / length(coalesce(text, '')) ELSE 0.0 END) "
+               "+ 0.3 * (CASE WHEN len(" + _SQL_TOKS + ") > 0 THEN "
+               "len(list_distinct(" + _SQL_TOKS + ")) * 1.0 "
+               "/ len(" + _SQL_TOKS + ") ELSE 0.0 END)",
+               4,
+           )} AS q,
+           len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok
+    FROM documents
+    WHERE len(string_split_regex(trim(coalesce(text, '')), '\s+')) >= 20
+      AND length(regexp_replace(coalesce(text, ''), '\s+', '', 'g')) * 1.0
+          / len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+          BETWEEN 2.0 AND 10.0
+      AND 1.0 - len(list_distinct(string_split_regex(trim(coalesce(text, '')), '\s+')))
+          * 1.0 / len(string_split_regex(trim(coalesce(text, '')), '\s+')) <= 0.8
+), deduped AS (
+    SELECT * FROM (
+        SELECT gated.*,
+               row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+), sampled AS (
+    SELECT * FROM (
+        SELECT deduped.*,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS qn
+        FROM deduped
+    ) WHERE qn <= 200
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM sampled
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 R6_ENTRIES: dict[str, Entry] = {
     "kl_source_drift": Entry(kl_source_drift, KL_SOURCE_DRIFT_SQL),
     "dsir_importance": Entry(dsir_importance, DSIR_IMPORTANCE_SQL),
     "exact_substr_spans": Entry(exact_substr_spans, EXACT_SUBSTR_SQL),
+    "curation_pipeline": Entry(curation_pipeline, CURATION_PIPELINE_SQL),
 }

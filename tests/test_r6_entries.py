@@ -70,3 +70,20 @@ def test_exact_substr_spans_bounds_and_planted_dup(spark):
         }
     assert got[1]["n_dup_tokens"] >= 20 and got[2]["n_dup_tokens"] >= 20
     assert got[3]["n_dup_tokens"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_curation_pipeline_invariants(spark):
+    """The composite must agree with its own stages run independently:
+    every surviving stratum count ≤ the gated-corpus stratum count, no
+    lang exceeds the 200-doc quota, and the report is non-empty with
+    positive token totals."""
+    out = CATALOG["curation_pipeline"].spark_fn(spark, SF).collect()
+    assert out
+    per_lang = {}
+    for r in out:
+        assert r["n_docs"] > 0 and r["total_tokens"] > 0
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+    assert all(n <= 200 for n in per_lang.values())
+    gates = CATALOG["text_gopher_filters"].spark_fn(spark, SF)
+    n_gated = gates.filter(F.col("keep")).count()
+    assert sum(per_lang.values()) <= n_gated
