@@ -490,6 +490,9 @@ def embedding_dup_pairs(
     ``lsh_bands``× explode of the id+vector projection before the bucket
     join, and a post-join dropDuplicates on (id_a, id_b) — both linear.
     """
+    # NULL-vector rows are excluded (ANN-family NULL policy,
+    # similarity.cosine_topk): an unindexable row can never pair.
+    df = df.filter(F.col(vec_col).isNotNull())
     # materialize the double vector AND its norm once per row: every
     # downstream pair comparison is one dot fold + a scalar division
     # (see norm_of's perf contract — 3x cheaper on the in-bucket stage)

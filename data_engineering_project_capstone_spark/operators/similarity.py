@@ -33,7 +33,14 @@ def cosine_topk(
 
     Output: (query_id, rank, neighbor_id, cos). Self-matches excluded.
     Deterministic: ties break on neighbor_id.
+
+    NULL policy (uniform across the ANN family): rows with a NULL vector
+    are excluded from both corpus and queries — a NULL embedding is an
+    unindexable row, and letting it through yields NULL cosines that rank
+    differently across engines (see tests/test_degenerate_embeddings.py).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     # materialize each side's double vector + norm ONCE per row — the
     # |corpus|×|queries| comparison stage is then one dot fold + a scalar
     # division per pair instead of three folds (norm_of's perf contract)
@@ -144,14 +151,26 @@ def ivf_topk(
     Same output shape as :func:`cosine_topk`. At scale the cell assignment
     is a write-side partition key (one column), so a query touches
     ``n_probe/n_cells`` of the corpus. Centroids train once on a sample.
+    NULL-vector rows are excluded from both sides (ANN-family NULL
+    policy, see :func:`cosine_topk`) — KMeans.fit crashes outright on a
+    NULL feature vector.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, maxIter=10)
+    # clamp the cell count to the number of DISTINCT vectors: Spark ML
+    # KMeans init throws ArrayIndexOutOfBounds when k exceeds the distinct
+    # point count (tiny or duplicate-heavy corpora). The distinct count
+    # costs one shuffle at fit time only — training is already the
+    # expensive step, and at scale the quantizer trains on a sample.
+    n_distinct = c.select("c_vec").distinct().count()
+    km = KMeans(k=max(1, min(n_cells, n_distinct)), seed=seed, maxIter=10)
     model = km.fit(c.select("features"))
     c = model.transform(c).withColumnRenamed("prediction", "cell")
 
@@ -226,7 +245,11 @@ def lsh_topk(
     pre-bucketed once (a write-side partition key), so a query touches
     ``probes · |corpus| / 2^bits`` candidates — the standard recall/cost
     dial (probes=1+bits ≈ doubles recall for ~bits× candidate cost).
+    NULL-vector rows are excluded from both sides (ANN-family NULL
+    policy, see :func:`cosine_topk`).
     """
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),

@@ -1553,7 +1553,7 @@ _COS_SQL = (
 
 DEDUP_EMBEDDING_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v, {_NORM_N_SQL} AS n
-           FROM embeddings)
+           FROM embeddings WHERE embedding IS NOT NULL)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {sql_ieee_round(_COS_SQL, 6)} AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -1576,7 +1576,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMILARITY_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_N_SQL} AS n
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
 scored AS (
     SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
            {sql_ieee_round(_COS_SQL, 6)} AS cos
@@ -1818,7 +1818,9 @@ def _ann_check(
     from ..operators.similarity import cosine_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
+    # n_queries must count what the ANN operators actually search:
+    # NULL-vector rows are excluded by the family-wide NULL policy
+    q = emb.filter((F.col("vec_id") < 5) & F.col("embedding").isNotNull())
     exact1 = cosine_topk(emb, q, k=1).select(
         "query_id", "neighbor_id", F.col("cos").alias("best_cos")
     )
@@ -1892,7 +1894,7 @@ def check_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baseline they are measured against is genuinely cross-engine verified.
 _ANN_EXACT_TOP1_CTE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_NORM_N_SQL} AS n
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
 scored AS (
     SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
            {sql_ieee_round(_COS_SQL, 6)} AS cos
@@ -1912,7 +1914,8 @@ top1 AS (
 
 CHECK_ANN_SQL = f"""
 {_ANN_EXACT_TOP1_CTE}
-SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
+SELECT CAST((SELECT count(*) FROM embeddings
+              WHERE vec_id < 5 AND embedding IS NOT NULL) AS BIGINT)
            AS n_queries,
        CAST(sum(neighbor_id) AS BIGINT) AS exact_top1_id_sum,
        {sql_ieee_round('sum(cos)', 6)} AS exact_top1_cos_sum,
@@ -1923,7 +1926,8 @@ FROM top1
 
 CHECK_ANN_RECALL_SQL = f"""
 {_ANN_EXACT_TOP1_CTE}
-SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
+SELECT CAST((SELECT count(*) FROM embeddings
+              WHERE vec_id < 5 AND embedding IS NOT NULL) AS BIGINT)
            AS n_queries,
        CAST(sum(neighbor_id) AS BIGINT) AS exact_top1_id_sum,
        {sql_ieee_round('sum(cos)', 6)} AS exact_top1_cos_sum,
