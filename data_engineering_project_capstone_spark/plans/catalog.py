@@ -716,7 +716,9 @@ def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_STRUCT_SQL = """
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+       -- json_valid guard: matches Spark from_json's NULL-on-malformed
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_typed,
        regexp_extract(event_type, '^([a-z]+)', 1) AS type_word
 FROM events
 """
@@ -732,7 +734,12 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_JSON_SQL = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+SELECT event_id,
+       -- json_valid guard: DuckDB's json_extract THROWS on malformed
+       -- JSON where Spark's get_json_object returns NULL; the guard
+       -- matches Spark's NULL-on-malformed contract
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
 FROM events
 """
 
@@ -824,6 +831,7 @@ WITH g AS (
                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT *, sum(is_new) OVER (
@@ -2320,7 +2328,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL formulation of gap sessions. window.end is last_event + gap by
     session_window's definition; the oracle reproduces it as max(ts) +
     INTERVAL. One shuffle on (user_id, merged window)."""
-    ev = events_table(spark, sf_dir)
+    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
     sw = F.session_window("ts", "30 minutes")
     return (
         ev.groupBy("user_id", sw.alias("sw"))
@@ -2348,6 +2356,7 @@ WITH g AS (
                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT *, sum(is_new) OVER (

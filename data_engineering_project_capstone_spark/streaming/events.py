@@ -142,7 +142,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     oracle-checkable one: DuckDB computes the identical windows).
 
     Shuffles once on user_id; the window sort is per-user, not global.
+
+    NULL-ts events are excluded: an event without a time cannot be
+    ordered into a session (the streaming twin's watermark would drop it
+    anyway), and engines disagree on NULL placement in window sorts
+    (Spark NULLS FIRST vs DuckDB NULLS LAST) — see
+    tests/test_degenerate_events.py.
     """
+    events = events.filter(F.col("ts").isNotNull())
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
     is_new = F.when(

@@ -1,0 +1,111 @@
+"""Degenerate-input sweep over the events-family catalog entries — the
+third leg of the degenerate trilogy (docs, embeddings, events).
+
+Edge cases a real event stream will contain: NULL timestamps (a broken
+producer), NULL user_id (anonymous traffic), duplicate timestamps for one
+user (sessionize/lag tie handling), a single-event user, malformed and
+NULL props JSON, and an event type no query anticipates. Every entry must
+execute without throwing and, where an oracle exists, agree with DuckDB
+row-for-row — NULL ordering inside window frames is exactly where engines
+diverge.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+from test_oracle_differential import TABLES, _rowset
+
+REAL_SF = "/root/testdata/sf0.001"
+
+ENTRIES = [
+    "events_hourly",
+    "events_json",
+    "events_json_struct",
+    "events_sessionize",
+    "events_session_window",
+    "events_gap_stats",
+    "events_multires_rollup",
+    "gapfill_resample",
+    "join_asof_events",
+]
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return None if minutes is None else T0 + dt.timedelta(minutes=minutes)
+
+
+DEGENERATE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (0, _ts(0), 1, "click", 1.0, '{"k": 1}'),
+    (1, _ts(0), 1, "click", 2.0, '{"k": 2}'),      # duplicate ts, same user
+    (2, _ts(90), 1, "view", 3.0, "not json"),       # malformed props
+    (3, _ts(None), 1, "click", 4.0, '{"k": 3}'),    # NULL ts
+    (4, _ts(5), None, "click", 5.0, '{"k": 4}'),    # NULL user
+    (5, _ts(10), 2, "purchase", None, None),        # NULL value + props
+    (6, _ts(10_000), 3, "solo", 6.0, '{"k": 5}'),   # single-event user, far future
+    (7, _ts(11), 2, "weird_type", 7.0, "{}"),       # unanticipated type
+]
+
+
+@pytest.fixture(scope="module")
+def degen_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("degen_ev")
+    for name in TABLES:
+        if name != "events":
+            shutil.copy(f"{REAL_SF}/{name}.parquet", d / f"{name}.parquet")
+    cols = list(zip(*DEGENERATE_EVENTS))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_entry_survives_degenerate_events(spark, degen_dir, name):
+    entry = CATALOG[name]
+    sdf = entry.spark_fn(spark, degen_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]  # must not throw
+
+    if entry.sql is None:
+        return
+    con = duckdb.connect()
+    try:
+        for t_name in TABLES:
+            con.execute(
+                f"CREATE VIEW {t_name} AS "
+                f"SELECT * FROM '{degen_dir}/{t_name}.parquet'"
+            )
+        res = con.execute(entry.sql)
+        ddb_cols = [d[0] for d in res.description]
+        ddb_rows = res.fetchall()
+    finally:
+        con.close()
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count differs on degenerate events "
+        f"(spark={len(spark_rows)} duck={len(ddb_rows)})"
+    )
+    assert _rowset(spark_rows, spark_cols) == _rowset(ddb_rows, ddb_cols), (
+        f"{name}: values differ on degenerate events"
+    )
