@@ -51,6 +51,9 @@ HEADLINE = [
     "kl_source_drift",        # per-source token-distribution KL drift
     "dsir_importance",        # DSIR log-ratio importance weights
     "exact_substr_spans",     # window-hash duplicated-span profiling
+    # r6b additions: heaviest of the second round-6 batch
+    "semdedup_prune",         # within-cluster pairwise + centroid cosines
+    "boilerplate_windows",    # per-source window-hash df thresholding
 ]
 
 

@@ -4027,6 +4027,10 @@ from .catalog_r6 import R6_ENTRIES  # noqa: E402  (same deferred-import reason)
 
 CATALOG.update(R6_ENTRIES)
 
+from .catalog_r6b import R6B_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6B_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4121,8 +4125,10 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the four round-6 registrations (kl_source_drift,
-# dsir_importance, exact_substr_spans, curation_pipeline; both-SF
+# this round — the nine round-6 registrations (kl_source_drift,
+# dsir_importance, exact_substr_spans, curation_pipeline from
+# catalog_r6; bpe_merge_pairs, decontaminate_embedding, semdedup_prune,
+# shard_balance, boilerplate_windows from catalog_r6b; all both-SF
 # oracle-verified locally)
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table

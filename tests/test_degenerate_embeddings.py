@@ -35,6 +35,8 @@ ENTRIES = [
     "similarity_ivf_topk",
     "check_lsh_topk",
     "check_ivf_topk",
+    "decontaminate_embedding",
+    "semdedup_prune",
 ]
 
 
