@@ -596,6 +596,125 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Unigram perplexity quality score (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram model
+    (add-one smoothed) — the shape of CCNet's KenLM perplexity filter
+    (Wenzek et al., 2020): documents whose token distribution is
+    unlikely under the reference model (gibberish, boilerplate soup,
+    wrong language) score high and get filtered or bucketed. A unigram
+    model stands in for KenLM's 5-gram (no external model files in the
+    engine); swapping in higher-order counts changes only the count
+    key, not the plan shape.
+
+    Scale: one vocab-sized count shuffle (map-side combined), the
+    per-token -log p table broadcast onto the token stream, scoring
+    map-side, one doc-keyed mean shuffle — identical skeleton to
+    dsir_importance, which documents the trillion-token vocab swap.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    logp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (-F.log((F.col("c") + 1) / (F.col("n") + F.col("v")))).alias("nll"),
+    )
+    return (
+        tok.join(F.broadcast(logp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            ieee_round(F.avg("nll"), 4).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PERPLEXITY_SCORE_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+    WHERE tok <> ''
+), cnt AS (
+    SELECT tok, count(*) AS c FROM tok GROUP BY tok
+), tot AS (
+    SELECT sum(c) AS n, count(*) AS v FROM cnt
+), logp AS (
+    SELECT tok, -ln((c + 1) * 1.0 / (n + v)) AS nll
+    FROM cnt CROSS JOIN tot
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {sql_ieee_round("avg(l.nll)", 4)} AS cross_entropy
+FROM tok t JOIN logp l USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Soft dedup — downweight duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every copy of a duplicated document survives but
+    carries sampling weight 1/multiplicity, so a training epoch sees
+    each distinct text with equal expected mass — the
+    downweight-don't-drop alternative (SoftDeDup) to exact_dedup's
+    keep-first, preserving corpus statistics and provenance diversity.
+
+    Scale: exactly one fingerprint count shuffle (map-side combined) —
+    the md5 runs in the scan stage — then the weight is a broadcast-free
+    per-row expression after the fingerprint-keyed window... expressed
+    as a count re-join here: the fingerprint-count table is
+    distinct-text sized; joining it back is a co-partitioned hash join
+    on the same key as the count, which AQE plans shuffle-free on the
+    count's partitioning.
+    """
+    from ..operators.dedup import normalized_fingerprint
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
+    )
+    mult = docs.groupBy("fp").agg(F.count("*").cast("long").alias("multiplicity"))
+    return (
+        docs.join(mult, "fp")
+        .select(
+            "doc_id",
+            "multiplicity",
+            ieee_round(F.lit(1.0) / F.col("multiplicity"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# the oracle mirrors operators.dedup.normalized_fingerprint: md5 of
+# lowercased whitespace-collapsed trimmed text, NULL coalesced to ''.
+_FP_SQL = (
+    "md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))"
+)
+
+DEDUP_SOFT_WEIGHTS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, {_FP_SQL} AS fp FROM documents
+), m AS (
+    SELECT fp, count(*) AS multiplicity FROM d GROUP BY fp
+)
+SELECT d.doc_id, CAST(m.multiplicity AS BIGINT) AS multiplicity,
+       {sql_ieee_round("1.0 / m.multiplicity", 6)} AS weight
+FROM d JOIN m USING (fp)
+ORDER BY d.doc_id
+"""
+
+
 R6B_ENTRIES: dict[str, Entry] = {
     "bpe_merge_pairs": Entry(bpe_merge_pairs, BPE_MERGE_PAIRS_SQL),
     "decontaminate_embedding": Entry(
@@ -604,4 +723,6 @@ R6B_ENTRIES: dict[str, Entry] = {
     "semdedup_prune": Entry(semdedup_prune, SEMDEDUP_PRUNE_SQL),
     "shard_balance": Entry(shard_balance, SHARD_BALANCE_SQL),
     "boilerplate_windows": Entry(boilerplate_windows, BOILERPLATE_WINDOWS_SQL),
+    "perplexity_score": Entry(perplexity_score, PERPLEXITY_SCORE_SQL),
+    "dedup_soft_weights": Entry(dedup_soft_weights, DEDUP_SOFT_WEIGHTS_SQL),
 }

@@ -203,6 +203,63 @@ def test_shard_balance_partitions_corpus(spark):
         assert running > sid * _SHARD_BUDGET
 
 
+def test_perplexity_score_orders_rare_tokens_high(spark, tmp_path_factory):
+    """Every doc scored once with positive cross-entropy; on a planted
+    corpus a doc of corpus-frequent tokens scores strictly lower than a
+    doc of hapax tokens."""
+    out = CATALOG["perplexity_score"].spark_fn(spark, SF).collect()
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == docs_n
+    assert all(r["cross_entropy"] > 0 for r in out)
+
+    planted = _swap_documents(
+        tmp_path_factory,
+        [
+            (1, "common common common common", "en", "s0", 27),
+            (2, "common common common common", "en", "s0", 27),
+            (3, "zeta qoph vug jynx", "en", "s0", 18),
+        ],
+    )
+    p = {r["doc_id"]: r["cross_entropy"] for r in
+         CATALOG["perplexity_score"].spark_fn(spark, planted).collect()}
+    assert p[1] == p[2] < p[3]
+
+
+def test_dedup_soft_weights_mass_preserved(spark, tmp_path_factory):
+    """weight × multiplicity = 1 on every row; total weight equals the
+    number of DISTINCT texts (each distinct text carries unit expected
+    mass); exact duplicates split the unit evenly."""
+    out = CATALOG["dedup_soft_weights"].spark_fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(out) == docs.count()
+    for r in out:
+        assert abs(r["weight"] * r["multiplicity"] - 1.0) < 1e-4
+    n_distinct = (
+        docs.select(
+            F.md5(
+                F.regexp_replace(
+                    F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+", " "
+                )
+            ).alias("fp")
+        ).distinct().count()
+    )
+    assert abs(sum(r["weight"] for r in out) - n_distinct) < 1e-2
+
+    planted = _swap_documents(
+        tmp_path_factory,
+        [
+            (1, "same text body", "en", "s0", 14),
+            (2, "same   TEXT body", "en", "s1", 16),  # normalizes equal
+            (3, "unique body", "en", "s0", 11),
+        ],
+    )
+    w = {r["doc_id"]: r for r in
+         CATALOG["dedup_soft_weights"].spark_fn(spark, planted).collect()}
+    assert w[1]["multiplicity"] == w[2]["multiplicity"] == 2
+    assert w[1]["weight"] == w[2]["weight"] == 0.5
+    assert w[3]["multiplicity"] == 1 and w[3]["weight"] == 1.0
+
+
 def test_boilerplate_windows_planted(spark, tmp_path_factory):
     """A 5-token window shared by >= 3 docs of one source is flagged in
     all of them; the same window split across sources is NOT flagged;
