@@ -715,6 +715,85 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. Mergeable HLL sketches (two-level union)
+# ---------------------------------------------------------------------------
+
+
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct-count sketching (Apache DataSketches
+    HLL via ``hll_sketch_agg``/``hll_union_agg``): build one sketch per
+    (source, shard) — the grain a 100 TB pipeline materializes per
+    partition/day — then re-aggregate per source AND corpus-wide by
+    UNIONING SKETCHES, never rescanning rows. Mergeability is the whole
+    point: pre-aggregated sketch tables answer distinct-count questions
+    at any rollup level with kilobytes of state per group.
+
+    Sketch estimates are engine-specific, so the driver-compared output
+    follows the agg_approx pattern: exact anchors plus a within-5%
+    verdict column the oracle expects TRUE (DataSketches default
+    lgConfigK=12 ≈ 1.6% rsd; near-exact at test cardinalities).
+    """
+    from ..operators.dedup import normalized_fingerprint
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % 8).alias("shard"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    shard_sk = docs.groupBy("source", "shard").agg(
+        F.hll_sketch_agg("fp").alias("sk"),
+        F.count("*").alias("n_docs"),
+    )
+    per_src = shard_sk.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    corpus = shard_sk.groupBy().agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).select(F.lit("__ALL__").alias("source"), "n_docs", "est")
+    exact_src = docs.groupBy("source").agg(
+        F.count_distinct("fp").alias("n_distinct")
+    )
+    exact_all = docs.agg(F.count_distinct("fp").alias("n_distinct")).select(
+        F.lit("__ALL__").alias("source"), "n_distinct"
+    )
+    est = per_src.unionByName(corpus)
+    exact = exact_src.unionByName(exact_all)
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (
+                F.abs(F.col("est") - F.col("n_distinct"))
+                <= 0.05 * F.col("n_distinct")
+            ).alias("hll_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+SKETCH_HLL_UNION_SQL = f"""
+WITH d AS (
+    SELECT source, {_FP_SQL} AS fp FROM documents
+), per_src AS (
+    SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct
+    FROM d GROUP BY source
+), al AS (
+    SELECT '__ALL__' AS source, count(*) AS n_docs,
+           count(DISTINCT fp) AS n_distinct
+    FROM d
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct AS BIGINT) AS n_distinct, TRUE AS hll_ok
+FROM (SELECT * FROM per_src UNION ALL SELECT * FROM al)
+ORDER BY source
+"""
+
+
 R6B_ENTRIES: dict[str, Entry] = {
     "bpe_merge_pairs": Entry(bpe_merge_pairs, BPE_MERGE_PAIRS_SQL),
     "decontaminate_embedding": Entry(
@@ -725,4 +804,5 @@ R6B_ENTRIES: dict[str, Entry] = {
     "boilerplate_windows": Entry(boilerplate_windows, BOILERPLATE_WINDOWS_SQL),
     "perplexity_score": Entry(perplexity_score, PERPLEXITY_SCORE_SQL),
     "dedup_soft_weights": Entry(dedup_soft_weights, DEDUP_SOFT_WEIGHTS_SQL),
+    "sketch_hll_union": Entry(sketch_hll_union, SKETCH_HLL_UNION_SQL),
 }

@@ -107,6 +107,42 @@ def test_zorder_plan_stays_jvm_side(spark):
     assert plan.count("rangepartitioning") <= 1 or "RangePartitioning" in plan
 
 
+def test_zorder_key_matches_python_interleave(spark):
+    """The codegen bit-interleave equals the reference Morton encoding
+    for random 21-bit inputs (property-based), so z-key ordering is the
+    true Z-curve order."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_engineering_project_capstone_spark.sources.layout import zorder_key
+
+    def morton(x: int, y: int, bits: int = 21) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, (1 << 21) - 1), st.integers(0, (1 << 21) - 1)
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(points):
+        df = spark.createDataFrame(points, ["x", "y"])
+        got = [
+            r["_zkey"]
+            for r in df.select(zorder_key(["x", "y"])).collect()
+        ]
+        assert got == [morton(x, y) for x, y in points]
+
+    check()
+
+
 def test_zorder_box_scan_results_identical(spark, laidout):
     """Layout never changes results: the same selective 2-dim box scan
     returns identical row counts over both layouts, and the filter is
