@@ -4129,8 +4129,9 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # dsir_importance, exact_substr_spans, curation_pipeline from
 # catalog_r6; bpe_merge_pairs, decontaminate_embedding, semdedup_prune,
 # shard_balance, boilerplate_windows, perplexity_score,
-# dedup_soft_weights, sketch_hll_union from catalog_r6b; all both-SF
-# oracle-verified locally)
+# dedup_soft_weights, sketch_hll_union, events_funnel,
+# events_retention_cohorts from catalog_r6b; all both-SF oracle-verified
+# locally)
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table
 # consumer as canary, fill the rest with the oldest records (the r5

@@ -794,6 +794,194 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# 9. Ordered funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ordered funnel: signup → first view AFTER the signup →
+    first purchase AFTER that view, all within 7 days of the signup.
+    Output is one row per stage with user counts and conversion vs
+    stage 1.
+
+    Scale: each stage is a user-keyed min-aggregate joined to the
+    previous stage's per-user frontier — three map-side-combined
+    shuffles all partitioned on user_id, so AQE reuses one exchange
+    layout; no windows over raw events, no sequence materialization.
+    The per-stage scalar counts ride a 3-row union.
+    """
+    from .catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        s.agg(F.count("*").alias("n_users"))
+        .select(F.lit(1).alias("stage"), F.lit("signup").alias("step"), "n_users")
+        .unionByName(
+            v.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("stage"), F.lit("view").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("stage"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    base = stages.filter(F.col("stage") == 1).select(
+        F.greatest(F.col("n_users"), F.lit(1)).alias("_base")
+    )
+    return (
+        stages.crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "step",
+            F.col("n_users").cast("long").alias("n_users"),
+            ieee_round(F.col("n_users") / F.col("_base"), 4).alias("conv_pct"),
+        )
+        .orderBy("stage")
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH s AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+    SELECT e.user_id, min(e.ts) AS t2, min(s.t1) AS t1
+    FROM events e JOIN s USING (user_id)
+    WHERE e.event_type = 'view'
+      AND e.ts > s.t1 AND e.ts <= s.t1 + INTERVAL 7 DAY
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND e.ts > v.t2 AND e.ts <= v.t1 + INTERVAL 7 DAY
+    GROUP BY e.user_id
+), stages AS (
+    SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s
+    UNION ALL
+    SELECT 2, 'view', count(*) FROM v
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM p
+), base AS (
+    SELECT greatest(n_users, 1) AS b FROM stages WHERE stage = 1
+)
+SELECT stage, step, CAST(n_users AS BIGINT) AS n_users,
+       {sql_ieee_round("n_users * 1.0 / base.b", 4)} AS conv_pct
+FROM stages CROSS JOIN base
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Cohort retention
+# ---------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for offsets 0-3 weeks, how many were active again, as a
+    fraction of the cohort. The bread-and-butter product-analytics
+    rollup.
+
+    Scale: one user-keyed min shuffle for cohorts, one distinct on
+    (user, week) — both map-side combined — then the retention matrix is
+    cohorts×offsets sized; the cohort-size denominator is a window over
+    that TINY frame, not over events.
+    """
+    from .catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("w")
+    ).distinct()
+    grid = (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .filter(F.col("week_offset").between(0, 3))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    w_cohort = Window.partitionBy("cohort_week")
+    return (
+        grid.withColumn(
+            "_size",
+            F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+                w_cohort
+            ),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            ieee_round(
+                F.col("n_active") / F.greatest("_size", F.lit(1)), 4
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH first_ev AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+    FROM events
+), grid AS (
+    SELECT f.cohort_week,
+           date_diff('day', f.cohort_week, a.w) // 7 AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN first_ev f USING (user_id)
+    WHERE date_diff('day', f.cohort_week, a.w) // 7 BETWEEN 0 AND 3
+    GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       {sql_ieee_round(
+           "n_active * 1.0 / greatest(max(CASE WHEN week_offset = 0 "
+           "THEN n_active END) OVER (PARTITION BY cohort_week), 1)", 4
+       )} AS retention_pct
+FROM grid
+ORDER BY cohort_week, week_offset
+"""
+
+
 R6B_ENTRIES: dict[str, Entry] = {
     "bpe_merge_pairs": Entry(bpe_merge_pairs, BPE_MERGE_PAIRS_SQL),
     "decontaminate_embedding": Entry(
@@ -805,4 +993,8 @@ R6B_ENTRIES: dict[str, Entry] = {
     "perplexity_score": Entry(perplexity_score, PERPLEXITY_SCORE_SQL),
     "dedup_soft_weights": Entry(dedup_soft_weights, DEDUP_SOFT_WEIGHTS_SQL),
     "sketch_hll_union": Entry(sketch_hll_union, SKETCH_HLL_UNION_SQL),
+    "events_funnel": Entry(events_funnel, EVENTS_FUNNEL_SQL),
+    "events_retention_cohorts": Entry(
+        events_retention_cohorts, EVENTS_RETENTION_SQL
+    ),
 }

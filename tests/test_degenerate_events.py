@@ -36,6 +36,8 @@ ENTRIES = [
     "events_multires_rollup",
     "gapfill_resample",
     "join_asof_events",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)

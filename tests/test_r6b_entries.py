@@ -260,6 +260,96 @@ def test_dedup_soft_weights_mass_preserved(spark, tmp_path_factory):
     assert w[3]["multiplicity"] == 1 and w[3]["weight"] == 1.0
 
 
+def _swap_events(tmp_path_factory, rows):
+    """sf0.001 with events.parquet replaced by the given rows
+    (event_id, ts, user_id, event_type, value, props)."""
+    import datetime as dt  # noqa: F401  (rows carry datetimes)
+
+    d = tmp_path_factory.mktemp("r6b_ev")
+    for name in TABLES:
+        if name != "events":
+            shutil.copy(f"{SF}/{name}.parquet", d / f"{name}.parquet")
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_events_funnel_ordering_and_window(spark, tmp_path_factory):
+    """Stage counts are non-increasing, stage-1 conversion is 1.0; and
+    the ORDER and the 7-day window are enforced: a purchase before the
+    first view doesn't convert, nor does a view outside the window."""
+    import datetime as dt
+
+    out = CATALOG["events_funnel"].spark_fn(spark, SF).collect()
+    ns = [r["n_users"] for r in out]
+    assert len(ns) == 3 and ns == sorted(ns, reverse=True)
+    assert out[0]["conv_pct"] == 1.0
+    assert all(0.0 <= r["conv_pct"] <= 1.0 for r in out)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, mins, uid, typ):
+        return (i, t0 + dt.timedelta(minutes=mins), uid, typ, 1.0, "{}")
+
+    planted = _swap_events(
+        tmp_path_factory,
+        [
+            # user 1: full ordered funnel inside the window
+            ev(1, 0, 1, "signup"), ev(2, 10, 1, "view"), ev(3, 20, 1, "purchase"),
+            # user 2: purchase BEFORE the first view — must stop at stage 2
+            ev(4, 0, 2, "signup"), ev(5, 10, 2, "purchase"), ev(6, 20, 2, "view"),
+            # user 3: view 8 days after signup — must stop at stage 1
+            ev(7, 0, 3, "signup"), ev(8, 8 * 24 * 60, 3, "view"),
+        ],
+    )
+    p = {r["stage"]: r["n_users"] for r in
+         CATALOG["events_funnel"].spark_fn(spark, planted).collect()}
+    assert p == {1: 3, 2: 2, 3: 1}
+
+
+def test_events_retention_cohort_invariants(spark, tmp_path_factory):
+    """Offset-0 retention is exactly 1.0 for every cohort; retention is
+    within [0,1]; and a planted cohort of two users with one returning
+    the next week retains 0.5."""
+    import datetime as dt
+
+    out = CATALOG["events_retention_cohorts"].spark_fn(spark, SF).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["retention_pct"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["retention_pct"] == 1.0
+
+    monday = dt.datetime(2024, 1, 1)  # a Monday: week-truncation-stable
+
+    def ev(i, days, uid):
+        return (i, monday + dt.timedelta(days=days), uid, "view", 1.0, "{}")
+
+    planted = _swap_events(
+        tmp_path_factory,
+        [
+            ev(1, 0, 1), ev(2, 7, 1),   # user 1: active weeks 0 and 1
+            ev(3, 0, 2),                 # user 2: week 0 only
+        ],
+    )
+    r = {(row["week_offset"]): row for row in
+         CATALOG["events_retention_cohorts"].spark_fn(spark, planted).collect()}
+    assert r[0]["n_active"] == 2 and r[0]["retention_pct"] == 1.0
+    assert r[1]["n_active"] == 1 and r[1]["retention_pct"] == 0.5
+
+
 def test_boilerplate_windows_planted(spark, tmp_path_factory):
     """A 5-token window shared by >= 3 docs of one source is flagged in
     all of them; the same window split across sources is NOT flagged;
