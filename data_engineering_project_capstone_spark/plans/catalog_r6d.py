@@ -1,0 +1,286 @@
+"""Round-6d catalog entries — sampling, skew-mitigation, and statistical
+analytics families:
+
+- ``sample_weighted``: weighted sampling without replacement via the
+  Efraimidis–Spirakis exponential-key method (keys fully deterministic
+  from md5 hashing, so both engines draw the identical sample).
+- ``skew_salted_join``: the salt-and-replicate rewrite for skewed-key
+  JOINs (fact side salted, dim side replicated) — proven row-identical
+  to the plain join by its oracle, which IS the plain join.
+- ``agg_correlation``: Pearson correlation + sample covariance between
+  the daily click and purchase series.
+- ``chi_square_independence``: χ² statistic for source × lang
+  independence on the contingency table — the categorical drift test.
+
+Same contract as ``plans.catalog``: every entry pairs a PySpark plan
+with DuckDB oracle SQL over identical parquet, identical column
+aliases, floats through the shared IEEE rounding helpers.
+
+Reference parity note: the reference pipeline
+(``/root/reference/dataprep.py``) has no sampling/statistics surface —
+these extend the engine per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ieee_round
+from .catalog import Entry, events_table, sql_ieee_round, t
+
+# ---------------------------------------------------------------------------
+# 1. Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+_TWO60 = float(1 << 60)
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of K docs without replacement, P(doc) ∝ n_chars —
+    Efraimidis & Spirakis (2006): key_i = ln(u_i)/w_i with u_i uniform,
+    keep the K largest keys.
+
+    Scale shape: the key is computed map-side from a content hash (no
+    rng state, no driver round-trip); selection is a global top-K, which
+    Spark executes as per-partition TakeOrdered + a K-row driver merge —
+    no full sort, no shuffle of the data. The sample is a pure function
+    of the corpus, so reruns, retries, and cluster sizes all draw the
+    same rows (the property rand()-based sampling loses).
+
+    Determinism across engines: u = (first 60 md5 bits + 1) / 2^60 is
+    in (0, 1] and bit-identical on both sides; ln/divide are single-ulp
+    IEEE ops, and the probability that two of ~n² key pairs land within
+    ulp distance of each other (the only way the K-cut could disagree)
+    is ≈ 0. Degenerate weights clamp to ≥ 1 so zero-length docs stay
+    sample-able rather than dividing by zero."""
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("ws"), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_TWO60)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log(u) / w
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            ieee_round(F.col("_key"), 6).alias("es_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           ln((CAST(concat('0x', substring(
+                   md5(concat('ws', ':', CAST(doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) + 1.0) / {_TWO60})
+             / greatest(n_chars, 1) AS k
+    FROM documents
+), top AS (
+    SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT {_WS_K}
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       {sql_ieee_round("k", 6)} AS es_key
+FROM top
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Salt-and-replicate skewed-key JOIN
+# ---------------------------------------------------------------------------
+
+_SALT_N = 8
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through a SALTED lineitem⋈orders join:
+    the fact side's join key is extended with a deterministic salt, the
+    dim side is replicated across all salt values, so one hot orderkey
+    spreads over ``_SALT_N`` shuffle partitions instead of one.
+
+    The oracle is the PLAIN join — passing the hash gate proves the
+    salted rewrite is result-identical to the join it replaces (the
+    agg-side twin is ``skew_salted_agg``; this is the join-side
+    technique, which AQE's skew-join split automates only for
+    sort-merge shapes it can see).
+
+    Scale shape: replication multiplies the DIM side by _SALT_N —
+    apply it with the big-but-not-hot side as the replicated one, or
+    restrict replication to the known-hot keys. The salt is md5-derived
+    (content-addressed), not rand(): retried tasks re-salt rows
+    identically, so retries can't double-count."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    salt_f = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("l_orderkey"), F.col("l_linenumber")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SALT_N
+    )
+    fact = li.withColumn("_salt", salt_f)
+    dim = orders.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1)).cast("array<long>")),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact["l_orderkey"] == dim["o_orderkey"])
+            & (fact["_salt"] == dim["_salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            ieee_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       {sql_ieee_round("sum(l_extendedprice * (1 - l_discount))", 2)}
+           AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Correlation between daily event series
+# ---------------------------------------------------------------------------
+
+
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and sample covariance between the daily click
+    count and daily purchase count series.
+
+    Scale shape: conditional-sum pivot to one row per day (single
+    map-combined shuffle), then the corr/covar aggregate over the tiny
+    day series. Spark's corr/covar_samp and DuckDB's are the same
+    two-pass-free streaming formulations; residual ulp noise is
+    absorbed by 6dp IEEE rounding."""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("purchases"),
+    )
+    return daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        ieee_round(F.corr("clicks", "purchases"), 6).alias("corr_cp"),
+        ieee_round(F.covar_samp("clicks", "purchases"), 6).alias("covar_cp"),
+    )
+
+
+AGG_CORRELATION_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS clicks,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS purchases
+    FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       {sql_ieee_round("corr(clicks, purchases)", 6)} AS corr_cp,
+       {sql_ieee_round("covar_samp(clicks, purchases)", 6)} AS covar_cp
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. χ² independence test on the source × lang contingency table
+# ---------------------------------------------------------------------------
+
+
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² statistic for independence of document source and language:
+    Σ (obs − exp)²/exp over the contingency table, exp = (row total ×
+    col total) / N — the standard categorical-drift test (is the
+    language mix the same across sources?).
+
+    Scale shape: one data-sized groupBy builds the contingency table;
+    marginals are broadcast joins over |sources| and |langs| rows; the
+    χ² fold is a scalar aggregate over the tiny table. Every term is
+    exact integer arithmetic until the final divide."""
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    row_tot = obs.groupBy("source").agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    joined = (
+        obs.join(F.broadcast(row_tot), "source")
+        .join(F.broadcast(col_tot), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    term = F.pow(F.col("o") - exp, F.lit(2.0)) / exp
+    dof = (
+        (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+    ).cast("long")
+    return joined.agg(
+        ieee_round(F.sum(term), 4).alias("chi2"),
+        dof.alias("dof"),
+    )
+
+
+CHI_SQUARE_SQL = f"""
+WITH obs AS (
+    SELECT source, lang, count(*) AS o
+    FROM documents GROUP BY source, lang
+), rt AS (SELECT source, sum(o) AS rt FROM obs GROUP BY source),
+   ct AS (SELECT lang, sum(o) AS ct FROM obs GROUP BY lang),
+   n AS (SELECT sum(o) AS n FROM obs)
+SELECT {sql_ieee_round(
+    "sum(pow(o - rt * ct * 1.0 / n, 2.0) / (rt * ct * 1.0 / n))", 4
+)} AS chi2,
+       CAST((count(DISTINCT obs.source) - 1)
+            * (count(DISTINCT obs.lang) - 1) AS BIGINT) AS dof
+FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+"""
+
+
+R6D_ENTRIES: dict[str, Entry] = {
+    "sample_weighted": Entry(sample_weighted, SAMPLE_WEIGHTED_SQL),
+    "skew_salted_join": Entry(skew_salted_join, SKEW_SALTED_JOIN_SQL),
+    "agg_correlation": Entry(agg_correlation, AGG_CORRELATION_SQL),
+    "chi_square_independence": Entry(chi_square_independence, CHI_SQUARE_SQL),
+}
