@@ -84,3 +84,19 @@ def split_part_col(col: Column | str, sep: str, idx: int) -> Column:
     """One piece of a delimiter-split string (reference dataprep.py:114,122)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, sep).getItem(idx)
+
+
+def md5_bucket(col: Column | str, salt: Column | str, mod: int) -> Column:
+    """First 60 bits of md5(col ':' salt) mod ``mod`` — the cross-engine
+    deterministic hash-bucket idiom (DuckDB twin:
+    ``CAST(concat('0x', substring(md5(..), 1, 15)) AS BIGINT) % mod``).
+    60 bits < 2^63, so the value is always non-negative. Used by the
+    content-addressed split, the count-min sketch, and the streaming
+    sketch maintainer, which must all bucket identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.col(salt) if isinstance(salt, str) else salt
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(":", c, s)), 1, 15), 16, 10)
+        .cast("long")
+        % mod
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import ieee_round
+from ..functions.scalar import ieee_round, md5_bucket
 from .catalog import Entry, events_table, sql_ieee_round, t
 from .catalog_r5 import _SQL_TOKS, _toks
 
@@ -47,16 +47,9 @@ _CMS_W = 256  # width (buckets per row)
 _CMS_K = 20  # heavy hitters reported
 
 
-def _md5_bucket(col, salt, mod):
-    """First 60 bits of md5(col ':' salt) mod ``mod`` — the cross-engine
-    hash idiom (DuckDB twin: CAST(concat('0x', substring(md5(..),1,15))
-    AS BIGINT) % mod). 60 bits < 2^63 so the value is always positive."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", col, salt)), 1, 15), 16, 10
-        ).cast("long")
-        % mod
-    )
+# the cross-engine md5 hash-bucket idiom, shared with the streaming
+# sketch maintainer (streaming/sketches.py) which must bucket identically
+_md5_bucket = md5_bucket
 
 
 def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
