@@ -54,6 +54,11 @@ HEADLINE = [
     # r6b additions: heaviest of the second round-6 batch
     "semdedup_prune",         # within-cluster pairwise + centroid cosines
     "boilerplate_windows",    # per-source window-hash df thresholding
+    # r6c-e additions: the heaviest of the sketch/graph/skew families,
+    # timed so they can't silently regress
+    "sketch_cms_topk",        # count-min build + broadcast readout
+    "skew_salted_join",       # differential hot-key salting + union
+    "pagerank_event_graph",   # 5 join+agg iterations, lineage cuts
 ]
 
 
