@@ -213,8 +213,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|²-bounded, and the row-normalizing window runs over that tiny
     matrix. One real shuffle (the per-user sort); ties broken by
     event_id so the sequence is deterministic under duplicate
-    timestamps."""
-    ev = events_table(spark, sf_dir)
+    timestamps. NULL-ts events are dropped on both sides (engine-wide
+    events policy): an event with no timestamp has no position in a
+    sequence, and engines disagree on NULL sort placement (Spark NULLS
+    FIRST vs DuckDB NULLS LAST) — the degenerate sweep pins this."""
+    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -239,6 +242,7 @@ WITH seq AS (
            lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev
     FROM events
+    WHERE ts IS NOT NULL
 ), mat AS (
     SELECT prev AS from_type, event_type AS to_type, count(*) AS n
     FROM seq WHERE prev IS NOT NULL
@@ -444,8 +448,11 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events by the first groupBy), shuffled on day — versus a
     nested-loop re-scan per day in the naive formulation. Days with no
     events anchor no window (inner join back to observed days), matching
-    the oracle's day spine."""
-    ev = events_table(spark, sf_dir)
+    the oracle's day spine. NULL-ts events are dropped on both sides
+    (engine-wide policy): they belong to no day, and without the filter
+    the engines diverge structurally — Spark's explode(sequence(NULL))
+    drops the row while the oracle's day spine keeps a NULL day."""
+    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
     user_days = ev.select(
         F.to_date("ts").alias("d"), "user_id"
     ).distinct()
@@ -465,7 +472,8 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROLLING_DISTINCT_USERS_SQL = """
-WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+              WHERE ts IS NOT NULL)
 SELECT day,
        CAST((SELECT count(DISTINCT user_id) FROM events e
              WHERE CAST(e.ts AS DATE) BETWEEN day - 6 AND day)

@@ -38,6 +38,14 @@ ENTRIES = [
     "join_asof_events",
     "events_funnel",
     "events_retention_cohorts",
+    # r6c-e events consumers
+    "events_transition_matrix",
+    "events_anomaly_zscore",
+    "events_time_decay",
+    "rolling_distinct_users",
+    "join_range_buckets",
+    "agg_correlation",
+    "pagerank_event_graph",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
