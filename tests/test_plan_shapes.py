@@ -303,3 +303,36 @@ def test_r6_exact_substr_window_hashes_only_on_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "concat_ws" not in line, line[:300]
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    """join_range_buckets exists to avoid the nested-loop a pure range
+    predicate forces: the bucket equi-key must make it a broadcast hash
+    join, with zero nested-loop/cartesian operators anywhere."""
+    plan = plan_of(spark, "join_range_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """sample_weighted's top-K must compile to TakeOrderedAndProject
+    (per-partition heap + K-row driver merge), never a global Sort +
+    Exchange of the full corpus."""
+    plan = plan_of(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_readout_broadcasts_sketch(spark):
+    """sketch_cms_topk joins tokens to the D×W cell table — the cell
+    side must broadcast (map-side estimate), not shuffle the tokens."""
+    plan = plan_of(spark, "sketch_cms_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_salted_join_broadcasts_hot_list(spark):
+    """skew_salted_join's hot-key list and both hot-branch filters must
+    be broadcast joins; the plan must contain no cartesian shapes."""
+    plan = plan_of(spark, "skew_salted_join")
+    assert plan.count("BroadcastHashJoin") >= 2  # hot filter + anti join
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
