@@ -10,9 +10,14 @@ Scale shape per iteration: one join ranks⋈edges on src (broadcast the
 rank vector only if the node set is small — by default both sides
 shuffle-partition on the join key, the right choice for web-scale
 graphs), one groupBy dst (map-side combined). Lineage is cut with
-``localCheckpoint`` every ``checkpoint_every`` iterations — without it
-the plan doubles per round and the optimizer chokes by iteration ~8
-(same hazard as clusters.py's label propagation). Fixed iterations, no
+``localCheckpoint`` every ``checkpoint_every`` iterations — needed on
+DEEP runs, where the plan doubles per round and the optimizer chokes
+by iteration ~8 (same hazard as clusters.py's label propagation). On
+shallow runs the cut is pure overhead and is skipped: within one
+uncut DAG Spark's ReusedExchange shares the edge/outdeg shuffles
+across iterations, so 5 uncut iterations measured 0.6s vs 2.1s with
+an eager cut every 2 (sf0.1 event graph) — hence the default cadence
+of 6, which leaves runs at ≤6 iterations uncut. Fixed iterations, no
 data-dependent driver loop: the iteration count is a hyperparameter,
 so the whole run is a statically known dataflow.
 """
@@ -29,7 +34,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Directed edges (src, dst) → (id, rank) after ``iterations`` rounds.
 
