@@ -1,13 +1,17 @@
-"""Round-6e catalog entries — iterative graph analytics with a fully
-SQL-expressible oracle:
+"""Round-6e catalog entries — iterative analytics (graph + ML) with
+fully SQL-expressible oracles. Iterative dataflow is oracle-checkable
+when the iteration count is fixed: the DuckDB twin UNROLLS the
+iterations into chained CTEs, which is exactly how the engine runs them
+(fixed-iteration hyperparameters, no data-dependent driver loop).
 
 - ``pagerank_event_graph``: 5 iterations of PageRank on the bipartite
   user ↔ event-type graph (edges both directions from the distinct
-  (user, type) incidence), read out at the type nodes. The DuckDB twin
-  UNROLLS the five iterations into five chained CTEs — iterative
-  dataflow is oracle-checkable when the iteration count is fixed, which
-  is exactly how the engine runs it (operators/graph.py pagerank takes
-  ``iterations`` as a hyperparameter, no data-dependent driver loop).
+  (user, type) incidence), read out at the type nodes.
+- ``kmeans_embeddings``: 2 Lloyd iterations of k-means over the
+  embedding corpus in LONG FORM (point, dimension, value) — assignment
+  is a join+argmin, the centroid update a groupBy-avg; deterministic
+  seeding (k smallest vec_ids) and 6dp-rounded distances with (d, cid)
+  tie-break make the argmin cross-engine stable.
 
 Same contract as ``plans.catalog``: identical column aliases, floats
 through the shared IEEE rounding helpers.
@@ -20,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import ieee_round
 from ..operators.graph import pagerank
-from .catalog import Entry, events_table, sql_ieee_round
+from .catalog import Entry, events_table, sql_ieee_round, t
 
 _PR_ITERS = 5
 _PR_DAMPING = 0.85
@@ -95,6 +99,119 @@ ORDER BY node
     return head + "".join(body) + tail
 
 
+# ---------------------------------------------------------------------------
+# 2. k-means (Lloyd's algorithm) in long form
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 Lloyd iterations of k-means over the embedding corpus, reported
+    as per-cluster size + within-cluster squared-distance inertia.
+
+    Long-form layout (vec_id, pos, x): the assignment step is a join on
+    ``pos`` with the centroid table (k·dim rows — broadcast) followed by
+    a (point, centroid) groupBy-sum for squared distance and a
+    struct-min argmin; the update step is a (cid, pos) groupBy-avg.
+    Each iteration is therefore two shuffles of the point-dimension
+    table — no driver-side centroids, no ml-lib dependency, and the
+    whole run is a statically known dataflow (iterations fixed). At
+    100 TB the centroid side stays k·dim rows regardless of data.
+
+    Determinism: seeding is the k smallest vec_ids; distances round to
+    6dp before the argmin and ties break by cid, so the assignment is
+    identical across engines (residual ulp noise in the avg-built
+    centroids is ~1e-14 against a 1e-6 rounding grid). NULL vectors are
+    excluded on both sides (ANN-family NULL policy,
+    operators/similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(_KM_K)
+    cent = (
+        pts.join(F.broadcast(seeds), "vec_id")
+        .select(F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx"))
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d = (
+            pts.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                ieee_round(
+                    F.sum((F.col("x") - F.col("cx")) ** 2), 6
+                ).alias("d")
+            )
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+        )
+        cent = (
+            pts.join(assign.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("cx"))
+        )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_points"),
+            ieee_round(F.sum("d"), 4).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_sql() -> str:
+    head = f"""
+WITH pts AS (
+    SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+    WHERE embedding IS NOT NULL
+), seeds AS (
+    SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+    ORDER BY vec_id LIMIT {_KM_K}
+), cent0 AS (
+    SELECT p.vec_id AS cid, pos, x AS cx FROM pts p JOIN seeds USING (vec_id)
+)"""
+    body = []
+    for i in range(1, _KM_ITERS + 1):
+        body.append(
+            f""", d{i} AS (
+    SELECT p.vec_id, c.cid,
+           {sql_ieee_round("sum((p.x - c.cx) * (p.x - c.cx))", 6)} AS d
+    FROM pts p JOIN cent{i - 1} c USING (pos)
+    GROUP BY p.vec_id, c.cid
+), a{i} AS (
+    SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{i}
+    ) WHERE rn = 1
+), cent{i} AS (
+    SELECT a.cid, p.pos, avg(p.x) AS cx
+    FROM a{i} a JOIN pts p USING (vec_id)
+    GROUP BY a.cid, p.pos
+)"""
+        )
+    tail = f"""
+SELECT cid, count(*) AS n_points,
+       {sql_ieee_round("sum(d)", 4)} AS inertia
+FROM a{_KM_ITERS}
+GROUP BY cid
+ORDER BY cid
+"""
+    return head + "".join(body) + tail
+
+
 R6E_ENTRIES: dict[str, Entry] = {
     "pagerank_event_graph": Entry(pagerank_event_graph, _pagerank_sql()),
+    "kmeans_embeddings": Entry(kmeans_embeddings, _kmeans_sql()),
 }

@@ -37,6 +37,7 @@ ENTRIES = [
     "check_ivf_topk",
     "decontaminate_embedding",
     "semdedup_prune",
+    "kmeans_embeddings",
 ]
 
 

@@ -76,3 +76,76 @@ def test_bipartite_entry_conserves_mass(spark):
     assert ranks.filter(F.col("rank") < 0.15 - 1e-12).count() == 0
     got = CATALOG["pagerank_event_graph"].spark_fn(spark, SF).collect()
     assert len(got) > 0 and all(r["rank"] > 0.15 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_embeddings (catalog_r6e) — Lloyd's-algorithm invariants
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_inertia(spark, iters):
+    """Replicate the entry's long-form Lloyd steps with UNROUNDED
+    distances and return total inertia after ``iters`` iterations."""
+    from data_engineering_project_capstone_spark.plans.catalog import t
+    from data_engineering_project_capstone_spark.plans.catalog_r6e import (
+        _KM_K,
+    )
+
+    emb = t(spark, SF, "embeddings").filter(F.col("embedding").isNotNull())
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(_KM_K)
+    cent = pts.join(F.broadcast(seeds), "vec_id").select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("cx")
+    )
+    assign = None
+    for _ in range(iters):
+        d = (
+            pts.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("x") - F.col("cx")) ** 2).alias("d"))
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+        )
+        cent = (
+            pts.join(assign.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("cx"))
+        )
+    return assign.agg(F.sum("d")).collect()[0][0]
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark):
+    """Lloyd's defining property: total inertia never increases with
+    more iterations (each assignment and each centroid update is a
+    local optimum step)."""
+    i1 = _lloyd_inertia(spark, 1)
+    i2 = _lloyd_inertia(spark, 2)
+    assert i2 <= i1 + 1e-9, (i1, i2)
+
+
+def test_kmeans_assigns_every_point(spark):
+    from data_engineering_project_capstone_spark.plans.catalog import (
+        CATALOG,
+        t,
+    )
+    from data_engineering_project_capstone_spark.plans.catalog_r6e import (
+        _KM_K,
+    )
+
+    rows = CATALOG["kmeans_embeddings"].spark_fn(spark, SF).collect()
+    n_vec = (
+        t(spark, SF, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+    assert sum(r["n_points"] for r in rows) == n_vec
+    assert 1 <= len(rows) <= _KM_K
+    assert all(r["inertia"] >= 0 for r in rows)
