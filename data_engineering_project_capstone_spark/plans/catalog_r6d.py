@@ -310,9 +310,78 @@ FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. Content-addressed table fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _fp_expr():
+    """60-bit md5 of the canonical row string — NULLs map to a sentinel
+    that cannot collide with real values (col '\\x01' separator)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x01",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce(F.col("text"), F.lit("\x02null")),
+                    F.coalesce(F.col("lang"), F.lit("\x02null")),
+                    F.coalesce(F.col("source"), F.lit("\x02null")),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent dataset fingerprint: XOR of per-row content
+    hashes + row count — the O(1)-state integrity check for comparing
+    snapshots across reruns, engines, or migration steps (two datasets
+    with equal (n_rows, xor_fp) are equal up to md5 collision, in any
+    row order and any partitioning).
+
+    Scale shape: one narrow map (hash) + one scalar aggregate — XOR is
+    commutative/associative, so the combine is map-side and merge-order
+    free, exactly why XOR (not a float sum, not a concat) is the right
+    fold for a distributed fingerprint. Adding or removing the same row
+    twice cancels — XOR fingerprints detect REPLACEMENT, while the
+    paired count catches duplication; callers needing multiset
+    sensitivity should hash (row, multiplicity)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", _fp_expr())
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(fp)").alias("xor_fp"),
+        )
+        .select(F.lit("documents").alias("table_name"), "n_rows", "xor_fp")
+    )
+
+
+TABLE_FINGERPRINTS_SQL = """
+SELECT 'documents' AS table_name,
+       count(*) AS n_rows,
+       bit_xor(CAST(concat('0x', substring(md5(
+           concat_ws(chr(1),
+                     CAST(doc_id AS VARCHAR),
+                     coalesce(text, chr(2) || 'null'),
+                     coalesce(lang, chr(2) || 'null'),
+                     coalesce(source, chr(2) || 'null'),
+                     CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT))
+           AS xor_fp
+FROM documents
+"""
+
+
 R6D_ENTRIES: dict[str, Entry] = {
     "sample_weighted": Entry(sample_weighted, SAMPLE_WEIGHTED_SQL),
     "skew_salted_join": Entry(skew_salted_join, SKEW_SALTED_JOIN_SQL),
     "agg_correlation": Entry(agg_correlation, AGG_CORRELATION_SQL),
     "chi_square_independence": Entry(chi_square_independence, CHI_SQUARE_SQL),
+    "table_fingerprints": Entry(table_fingerprints, TABLE_FINGERPRINTS_SQL),
 }

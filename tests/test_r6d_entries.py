@@ -125,3 +125,55 @@ def test_chi_square_nonnegative_with_correct_dof(spark):
     n_lang = docs.select("lang").distinct().count()
     assert row["chi2"] >= 0
     assert row["dof"] == (n_src - 1) * (n_lang - 1)
+
+
+# ---------------------------------------------------------------------------
+# table_fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_is_partition_and_order_independent(spark):
+    from data_engineering_project_capstone_spark.plans.catalog_r6d import (
+        _fp_expr,
+    )
+
+    docs = t(spark, SF, "documents")
+    base = (
+        docs.withColumn("fp", _fp_expr())
+        .agg(F.expr("bit_xor(fp)").alias("x"))
+        .collect()[0]["x"]
+    )
+    shuffled = (
+        docs.repartition(17)
+        .sortWithinPartitions(F.desc("n_chars"))
+        .withColumn("fp", _fp_expr())
+        .agg(F.expr("bit_xor(fp)").alias("x"))
+        .collect()[0]["x"]
+    )
+    assert base == shuffled
+
+
+def test_fingerprint_detects_single_row_change(spark):
+    from data_engineering_project_capstone_spark.plans.catalog_r6d import (
+        _fp_expr,
+    )
+
+    docs = t(spark, SF, "documents")
+    base = (
+        docs.withColumn("fp", _fp_expr())
+        .agg(F.expr("bit_xor(fp)").alias("x"))
+        .collect()[0]["x"]
+    )
+    first_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == first_id, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    changed = (
+        mutated.withColumn("fp", _fp_expr())
+        .agg(F.expr("bit_xor(fp)").alias("x"))
+        .collect()[0]["x"]
+    )
+    assert base != changed
