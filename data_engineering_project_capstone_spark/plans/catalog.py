@@ -4146,9 +4146,9 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # join_range_buckets, events_transition_matrix, events_anomaly_zscore,
 # events_time_decay, agg_robust_mad, rolling_distinct_users from
 # catalog_r6c; sample_weighted, skew_salted_join, agg_correlation,
-# chi_square_independence from catalog_r6d; pagerank_event_graph and
-# kmeans_embeddings from catalog_r6e; all both-SF oracle-verified
-# locally)
+# chi_square_independence, table_fingerprints from catalog_r6d;
+# pagerank_event_graph, kmeans_embeddings, nb_source_classifier from
+# catalog_r6e; all both-SF oracle-verified locally)
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table
 # consumer as canary, fill the rest with the oldest records (the r5

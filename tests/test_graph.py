@@ -149,3 +149,40 @@ def test_kmeans_assigns_every_point(spark):
     assert sum(r["n_points"] for r in rows) == n_vec
     assert 1 <= len(rows) <= _KM_K
     assert all(r["inertia"] >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# nb_source_classifier (catalog_r6e) — pipeline structural invariants
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classifies_every_test_doc_exactly_once(spark):
+    """Confusion-matrix mass must equal the number of test-split docs
+    with >= 1 token, and predictions must come from the train-source
+    set — i.e. the split/score/argmax plumbing loses nothing."""
+    from data_engineering_project_capstone_spark.plans.catalog import (
+        CATALOG,
+        t,
+    )
+    from data_engineering_project_capstone_spark.plans.catalog_r5 import _toks
+
+    rows = CATALOG["nb_source_classifier"].spark_fn(spark, SF).collect()
+    docs = t(spark, SF, "documents").filter(F.col("source").isNotNull())
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    with_tok = docs.filter(
+        F.size(F.filter(_toks(), lambda x: x != "")) > 0
+    )
+    n_test = with_tok.filter(bucket >= 80).count()
+    assert sum(r["n_docs"] for r in rows) == n_test
+    train_sources = {
+        r["source"]
+        for r in with_tok.filter(bucket < 80).select("source").distinct().collect()
+    }
+    assert {r["predicted"] for r in rows} <= train_sources
