@@ -187,3 +187,63 @@ def test_chunked_running_offset_equals_single_window(spark, rows):
             expect[doc_id] = acc
             acc += v
     assert got == expect
+
+
+@given(
+    items=st.lists(
+        st.text(
+            alphabet="abcdefg", min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_md5_bucket_matches_duckdb_and_cms_dominates(spark, items):
+    """Two properties on arbitrary token multisets: (1) md5_bucket is
+    bit-identical to its documented DuckDB twin (the cross-engine
+    contract every sketch/split entry rests on); (2) the CMS built from
+    the multiset never underestimates any item's true count."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_capstone_spark.functions.scalar import (
+        md5_bucket,
+    )
+    from data_engineering_project_capstone_spark.streaming.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    sdf = spark.createDataFrame([(x,) for x in items], ["item"])
+    got = {
+        (r["item"], r["b"])
+        for r in sdf.select(
+            "item", md5_bucket(F.col("item"), F.lit("0"), 256).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    con = duckdb.connect()
+    expect = {
+        (x, b)
+        for x in set(items)
+        for (b,) in con.execute(
+            "SELECT CAST(concat('0x', substring(md5(concat(?, ':', '0')),"
+            " 1, 15)) AS BIGINT) % 256",
+            [x],
+        ).fetchall()
+    }
+    assert got == expect
+
+    sketch = cms_cells(sdf, "item").groupBy("d", "bucket").agg(
+        F.sum("cell").alias("cell")
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(sketch, sdf, "item").collect()
+    }
+    truth = Counter(items)
+    for item, n in truth.items():
+        assert est[item] >= n, (item, est[item], n)
