@@ -4043,6 +4043,10 @@ from .catalog_r6e import R6E_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R6E_ENTRIES)
 
+from .catalog_r6f import R6F_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6F_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4148,7 +4152,8 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # catalog_r6c; sample_weighted, skew_salted_join, agg_correlation,
 # chi_square_independence, table_fingerprints from catalog_r6d;
 # pagerank_event_graph, kmeans_embeddings, nb_source_classifier from
-# catalog_r6e; all both-SF oracle-verified locally)
+# catalog_r6e; info_gain_terms, event_paths from catalog_r6f; all
+# both-SF oracle-verified locally)
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table
 # consumer as canary, fill the rest with the oldest records (the r5

@@ -1,0 +1,205 @@
+"""Round-6f catalog entries — mining/feature-selection families:
+
+- ``info_gain_terms``: top-K tokens by information gain for predicting
+  ``lang`` (doc-level presence; the classic feature-selection ranking
+  used before training text classifiers). Exact integer contingency
+  counts until the final entropy logs.
+- ``event_paths``: top-K most frequent 3-step event-type paths (two
+  chained lags per user) — the path-mining readout funnels and
+  transition matrices don't give.
+
+Same contract as ``plans.catalog``: every entry pairs a PySpark plan
+with DuckDB oracle SQL over identical parquet, identical column
+aliases, floats through the shared IEEE rounding helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ieee_round
+from .catalog import Entry, events_table, sql_ieee_round, t
+from .catalog_r5 import _SQL_TOKS, _toks
+
+# ---------------------------------------------------------------------------
+# 1. Information-gain term ranking
+# ---------------------------------------------------------------------------
+
+_IG_TOP_K = 20
+
+
+def info_gain_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K tokens by information gain w.r.t. the ``lang`` label:
+    IG(t) = H(lang) − [P(t)·H(lang|t) + P(¬t)·H(lang|¬t)], with
+    presence at the document level.
+
+    Scale shape: one distinct (doc, tok, lang) pass (map-side
+    combinable), a (tok, lang) count groupBy, and a per-token entropy
+    fold over |langs| rows — the per-token work is label-cardinality-
+    bounded, so the whole ranking is two data-sized shuffles plus a
+    TakeOrdered top-K. Entropies use exact integer counts; ln appears
+    only in the last expression, and ties at the K-cut break by token.
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    n_docs = docs.count()
+    lang_tot = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    doc_toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(_toks()).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    tl = doc_toks.groupBy("tok", "lang").agg(F.count("*").alias("n_tl"))
+    t_tot = tl.groupBy("tok").agg(F.sum("n_tl").alias("n_t"))
+    # join the per-(tok, lang) presence counts with the lang totals to
+    # get absence counts; per-token entropy terms then sum over langs
+    full = (
+        tl.join(F.broadcast(lang_tot), "lang")
+        .join(t_tot, "tok")
+        .withColumn("n_absent", F.col("n_l") - F.col("n_tl"))
+    )
+    # H(lang) is a scalar: compute once and cross-join (broadcast)
+    h_lang = lang_tot.agg(
+        (
+            -F.sum(
+                (F.col("n_l") / F.lit(float(n_docs)))
+                * F.log(F.col("n_l") / F.lit(float(n_docs)))
+            )
+        ).alias("h")
+    )
+    plogp_present = F.when(
+        F.col("n_tl") > 0,
+        (F.col("n_tl") / F.col("n_t"))
+        * F.log(F.col("n_tl") / F.col("n_t")),
+    ).otherwise(F.lit(0.0))
+    n_not_t = F.lit(float(n_docs)) - F.col("n_t")
+    plogp_absent = F.when(
+        (F.col("n_absent") > 0) & (n_not_t > 0),
+        (F.col("n_absent") / n_not_t) * F.log(F.col("n_absent") / n_not_t),
+    ).otherwise(F.lit(0.0))
+    per_tok = full.groupBy("tok").agg(
+        F.max("n_t").alias("n_t"),
+        (-F.sum(plogp_present)).alias("h_present"),
+        (-F.sum(plogp_absent)).alias("h_absent"),
+    )
+    cond = (
+        F.col("n_t") / F.lit(float(n_docs)) * F.col("h_present")
+        + (F.lit(1.0) - F.col("n_t") / F.lit(float(n_docs)))
+        * F.col("h_absent")
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(h_lang))
+        .select(
+            "tok",
+            F.col("n_t").cast("long").alias("n_docs_with"),
+            ieee_round(F.col("h") - cond, 6).alias("info_gain"),
+        )
+        .orderBy(F.desc("info_gain"), "tok")
+        .limit(_IG_TOP_K)
+    )
+
+
+def _info_gain_sql() -> str:
+    return f"""
+WITH docs AS (
+    SELECT doc_id, lang, text FROM documents WHERE lang IS NOT NULL
+), n AS (SELECT count(*) AS n_docs FROM docs),
+   lang_tot AS (SELECT lang, count(*) AS n_l FROM docs GROUP BY lang),
+   h_lang AS (
+       SELECT -sum((n_l * 1.0 / n.n_docs) * ln(n_l * 1.0 / n.n_docs)) AS h
+       FROM lang_tot, n
+   ),
+   doc_toks AS (
+       SELECT DISTINCT doc_id, lang, tok
+       FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM docs)
+       WHERE tok <> ''
+   ),
+   tl AS (SELECT tok, lang, count(*) AS n_tl FROM doc_toks GROUP BY tok, lang),
+   t_tot AS (SELECT tok, sum(n_tl) AS n_t FROM tl GROUP BY tok),
+   full_t AS (
+       SELECT tl.tok, tl.n_tl, lt.n_l, tt.n_t, lt.n_l - tl.n_tl AS n_absent
+       FROM tl JOIN lang_tot lt USING (lang) JOIN t_tot tt ON tt.tok = tl.tok
+   ),
+   per_tok AS (
+       SELECT tok, max(n_t) AS n_t,
+              -sum(CASE WHEN n_tl > 0
+                        THEN (n_tl * 1.0 / n_t) * ln(n_tl * 1.0 / n_t)
+                        ELSE 0.0 END) AS h_present,
+              -sum(CASE WHEN n_absent > 0 AND (SELECT n_docs FROM n) - n_t > 0
+                        THEN (n_absent * 1.0 / ((SELECT n_docs FROM n) - n_t))
+                             * ln(n_absent * 1.0
+                                  / ((SELECT n_docs FROM n) - n_t))
+                        ELSE 0.0 END) AS h_absent
+       FROM full_t GROUP BY tok
+   )
+SELECT tok, CAST(n_t AS BIGINT) AS n_docs_with,
+       {sql_ieee_round(
+           "h_lang.h - (n_t * 1.0 / n.n_docs * h_present"
+           " + (1.0 - n_t * 1.0 / n.n_docs) * h_absent)", 6
+       )} AS info_gain
+FROM per_tok, h_lang, n
+ORDER BY info_gain DESC, tok
+LIMIT {_IG_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Event path mining (3-step sequences)
+# ---------------------------------------------------------------------------
+
+_PATH_TOP_K = 10
+
+
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most frequent 3-step event-type paths across users — two
+    chained lags over the per-user timeline, then a count groupBy over
+    the |types|³-bounded path space.
+
+    Scale shape: the lag window partitions on user_id (the same single
+    shuffle the transition matrix pays — a planner reuses it when both
+    run); the path groupBy is tiny. NULL-ts events drop on both sides
+    (events NULL policy; engines disagree on NULL sort placement)."""
+    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", "event_type").select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    )
+    return (
+        seq.filter(F.col("t0").isNotNull() & F.col("t1").isNotNull())
+        .groupBy(
+            F.col("t0").alias("step1"),
+            F.col("t1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(_PATH_TOP_K)
+    )
+
+
+EVENT_PATHS_SQL = f"""
+WITH seq AS (
+    SELECT event_type,
+           lag(event_type, 2) OVER w AS t0,
+           lag(event_type, 1) OVER w AS t1
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t0 AS step1, t1 AS step2, event_type AS step3, count(*) AS n
+FROM seq
+WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+GROUP BY t0, t1, event_type
+ORDER BY n DESC, step1, step2, step3
+LIMIT {_PATH_TOP_K}
+"""
+
+
+R6F_ENTRIES: dict[str, Entry] = {
+    "info_gain_terms": Entry(info_gain_terms, _info_gain_sql()),
+    "event_paths": Entry(event_paths, EVENT_PATHS_SQL),
+}

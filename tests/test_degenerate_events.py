@@ -46,6 +46,7 @@ ENTRIES = [
     "join_range_buckets",
     "agg_correlation",
     "pagerank_event_graph",
+    "event_paths",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
