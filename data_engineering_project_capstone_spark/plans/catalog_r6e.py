@@ -16,6 +16,10 @@ iterations into chained CTEs, which is exactly how the engine runs them
   relational ops — multinomial Naive Bayes predicting a document's
   source from its tokens (content-addressed 80/20 split, add-1
   smoothing, log-space scoring, argmax, confusion matrix out).
+- ``logreg_gd_weights``: 2 unrolled batch-gradient-descent steps of
+  logistic regression in long form (doc, feature, value) — the
+  dot-product is a join+groupBy, the gradient a feature-keyed
+  groupBy-avg; weights out.
 
 Same contract as ``plans.catalog``: identical column aliases, floats
 through the shared IEEE rounding helpers.
@@ -381,8 +385,142 @@ def _nb_sql() -> str:
     return NB_SOURCE_CLASSIFIER_SQL.format(sql_toks=_SQL_TOKS, round6=round6)
 
 
+# ---------------------------------------------------------------------------
+# 4. Logistic regression by unrolled batch gradient descent
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 2
+_LR_RATE = 0.5
+
+
+def logreg_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 batch-gradient-descent steps of logistic regression in long
+    form, predicting whether a doc belongs to the corpus's most common
+    language from [bias, n_chars/1000, n_tokens/100]; final weights out.
+
+    Scale shape: each step is (a) dot-product = features⋈weights join
+    on the feature id (weights broadcast — d rows) + per-doc groupBy
+    sum, (b) gradient = features⋈per-doc-error join + per-feature
+    groupBy avg. Two shuffles of the (doc, feature) table per step,
+    weight state never leaves the dataflow — exactly how distributed
+    batch GD runs at corpus scale. Fixed steps ⇒ statically known
+    dataflow, oracle-unrollable like the k-means/PageRank entries.
+
+    Determinism: from w=0 the first probabilities are exactly 0.5; the
+    per-feature avg sums are the only float folds, and final weights
+    round 6dp. Label choice is deterministic (max count, lang
+    tie-break)."""
+    docs = t(spark, sf_dir, "documents")
+    top_lang = (
+        docs.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    base = docs.crossJoin(F.broadcast(top_lang)).select(
+        "doc_id",
+        # NULL lang scores as the negative class on both sides (a doc
+        # with no language is certainly not the majority language)
+        F.coalesce(F.col("lang") == F.col("top_lang"), F.lit(False))
+        .cast("int")
+        .cast("double")
+        .alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (
+            F.size(F.filter(_toks(), lambda s: s != "")) / F.lit(100.0)
+        ).alias("x2"),
+    )
+    feats = base.select(
+        "doc_id",
+        "y",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit(0), F.lit(1), F.lit(2)),
+                F.array(F.lit(1.0), F.col("x1"), F.col("x2")),
+            )
+        ).alias("j", "x"),
+    )
+    w = spark.createDataFrame([(0, 0.0), (1, 0.0), (2, 0.0)], "j int, w double")
+    for _ in range(_LR_ITERS):
+        dot = (
+            feats.join(F.broadcast(w), "j")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+        )
+        err = dot.select(
+            "doc_id",
+            (
+                F.col("y")
+                - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+            ).alias("e"),
+        )
+        grad = (
+            feats.join(err, "doc_id")
+            .groupBy("j")
+            .agg(F.avg(F.col("x") * F.col("e")).alias("g"))
+        )
+        w = (
+            w.join(grad, "j")
+            .select(
+                "j",
+                (F.col("w") + F.lit(_LR_RATE) * F.col("g")).alias("w"),
+            )
+        )
+    return w.select(
+        F.col("j").alias("feature"), ieee_round(F.col("w"), 6).alias("weight")
+    ).orderBy("feature")
+
+
+def _logreg_sql() -> str:
+    head = f"""
+WITH top_lang AS (
+    SELECT lang FROM documents WHERE lang IS NOT NULL
+    GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+), base AS (
+    SELECT doc_id,
+           CAST(CAST(coalesce(d.lang = (SELECT lang FROM top_lang), FALSE)
+                     AS INT) AS DOUBLE) AS y,
+           n_chars / 1000.0 AS x1,
+           len(list_filter({_SQL_TOKS}, s -> s <> '')) / 100.0 AS x2
+    FROM documents d
+), feats AS (
+    SELECT doc_id, y, 0 AS j, 1.0 AS x FROM base
+    UNION ALL SELECT doc_id, y, 1, x1 FROM base
+    UNION ALL SELECT doc_id, y, 2, x2 FROM base
+), w0 AS (
+    SELECT * FROM (VALUES (0, 0.0), (1, 0.0), (2, 0.0)) AS v(j, w)
+)"""
+    body = []
+    for i in range(1, _LR_ITERS + 1):
+        body.append(
+            f""", dot{i} AS (
+    SELECT f.doc_id, f.y, sum(f.x * w.w) AS z
+    FROM feats f JOIN w{i - 1} w USING (j)
+    GROUP BY f.doc_id, f.y
+), err{i} AS (
+    SELECT doc_id, y - 1.0 / (1.0 + exp(-z)) AS e FROM dot{i}
+), grad{i} AS (
+    SELECT f.j, avg(f.x * e.e) AS g
+    FROM feats f JOIN err{i} e USING (doc_id)
+    GROUP BY f.j
+), w{i} AS (
+    SELECT w.j, w.w + {_LR_RATE} * g.g AS w
+    FROM w{i - 1} w JOIN grad{i} g USING (j)
+)"""
+        )
+    tail = f"""
+SELECT j AS feature, {sql_ieee_round("w", 6)} AS weight
+FROM w{_LR_ITERS}
+ORDER BY feature
+"""
+    return head + "".join(body) + tail
+
+
 R6E_ENTRIES: dict[str, Entry] = {
     "pagerank_event_graph": Entry(pagerank_event_graph, _pagerank_sql()),
     "kmeans_embeddings": Entry(kmeans_embeddings, _kmeans_sql()),
     "nb_source_classifier": Entry(nb_source_classifier, _nb_sql()),
+    "logreg_gd_weights": Entry(logreg_gd_weights, _logreg_sql()),
 }

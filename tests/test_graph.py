@@ -186,3 +186,79 @@ def test_nb_classifies_every_test_doc_exactly_once(spark):
         for r in with_tok.filter(bucket < 80).select("source").distinct().collect()
     }
     assert {r["predicted"] for r in rows} <= train_sources
+
+
+# ---------------------------------------------------------------------------
+# logreg_gd_weights (catalog_r6e) — gradient-descent invariants
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_gd_decreases_log_loss(spark):
+    """Two GD steps from w=0 must not increase the training log-loss
+    (small fixed rate on a convex objective), and the weights must
+    match a pure-Python replication of the two GD steps."""
+    import math
+
+    from data_engineering_project_capstone_spark.plans.catalog import (
+        CATALOG,
+        t,
+    )
+    from data_engineering_project_capstone_spark.plans.catalog_r5 import _toks
+    from data_engineering_project_capstone_spark.plans.catalog_r6e import (
+        _LR_RATE,
+    )
+
+    docs = t(spark, SF, "documents")
+    top = (
+        docs.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .first()["lang"]
+    )
+    rows = docs.select(
+        F.coalesce(F.col("lang") == F.lit(top), F.lit(False))
+        .cast("int")
+        .alias("y"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(F.filter(_toks(), lambda s: s != "")) / 100.0).alias("x2"),
+    ).collect()
+    w = {
+        r["feature"]: r["weight"]
+        for r in CATALOG["logreg_gd_weights"].spark_fn(spark, SF).collect()
+    }
+    assert set(w) == {0, 1, 2}
+
+    def loss(w0, w1, w2):
+        s = 0.0
+        for r in rows:
+            z = w0 + w1 * r["x1"] + w2 * r["x2"]
+            p = 1.0 / (1.0 + math.exp(-z))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            s += -(r["y"] * math.log(p) + (1 - r["y"]) * math.log(1 - p))
+        return s / len(rows)
+
+    assert loss(w[0], w[1], w[2]) <= loss(0.0, 0.0, 0.0) + 1e-9
+
+    # step-1 bias gradient closed form (p == 0.5 for every doc at w=0):
+    # after ONE step, bias = rate * mean(y - 0.5). Recompute one python
+    # GD step for all three weights and take step 2's direction on
+    # trust: here we check only the step-1 value by re-deriving it.
+    # full python replication of both steps:
+    def gd(iters):
+        ws = [0.0, 0.0, 0.0]
+        for _ in range(iters):
+            g = [0.0, 0.0, 0.0]
+            for r in rows:
+                z = ws[0] + ws[1] * r["x1"] + ws[2] * r["x2"]
+                e = r["y"] - 1.0 / (1.0 + math.exp(-z))
+                g[0] += e
+                g[1] += r["x1"] * e
+                g[2] += r["x2"] * e
+            ws = [
+                ws[j] + _LR_RATE * g[j] / len(rows) for j in range(3)
+            ]
+        return ws
+    ref = gd(2)
+    for j in range(3):
+        assert abs(w[j] - ref[j]) < 1e-5, (j, w[j], ref[j])
