@@ -4152,8 +4152,9 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # catalog_r6c; sample_weighted, skew_salted_join, agg_correlation,
 # chi_square_independence, table_fingerprints from catalog_r6d;
 # pagerank_event_graph, kmeans_embeddings, nb_source_classifier,
-# logreg_gd_weights from catalog_r6e; info_gain_terms, event_paths
-# from catalog_r6f; all both-SF oracle-verified locally)
+# logreg_gd_weights from catalog_r6e; info_gain_terms, event_paths,
+# linreg_by_group from catalog_r6f; all both-SF oracle-verified
+# locally)
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table
 # consumer as canary, fill the rest with the oldest records (the r5

@@ -199,7 +199,59 @@ LIMIT {_PATH_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# 3. Per-group linear regression (native regr_* aggregates)
+# ---------------------------------------------------------------------------
+
+
+def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS fit of token count ~ n_chars using the ANSI
+    ``regr_slope``/``regr_intercept``/``regr_r2`` aggregates (native in
+    both engines since Spark 3.4 / DuckDB 0.8) — the one-pass streaming
+    formulation, so each group is a single map-side-combinable
+    aggregate, never a per-group sort or second pass.
+
+    Scale shape: one shuffle on lang; the regression state per group is
+    six running sums. Degenerate groups (a single doc, zero variance)
+    yield NULL slope/r2 identically on both engines."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    n_tok = F.size(F.filter(_toks(), lambda s: s != "")).cast("double")
+    pairs = docs.select(
+        "lang", F.col("n_chars").cast("double").alias("x"), n_tok.alias("y")
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            ieee_round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+            ieee_round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+            ieee_round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+LINREG_BY_GROUP_SQL = f"""
+WITH pairs AS (
+    SELECT lang,
+           CAST(n_chars AS DOUBLE) AS x,
+           CAST(len(list_filter({_SQL_TOKS}, s -> s <> '')) AS DOUBLE) AS y
+    FROM documents
+    WHERE lang IS NOT NULL
+)
+SELECT lang,
+       count(*) AS n_docs,
+       {sql_ieee_round("regr_slope(y, x)", 6)} AS slope,
+       {sql_ieee_round("regr_intercept(y, x)", 6)} AS intercept,
+       {sql_ieee_round("regr_r2(y, x)", 6)} AS r2
+FROM pairs
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 R6F_ENTRIES: dict[str, Entry] = {
     "info_gain_terms": Entry(info_gain_terms, _info_gain_sql()),
     "event_paths": Entry(event_paths, EVENT_PATHS_SQL),
+    "linreg_by_group": Entry(linreg_by_group, LINREG_BY_GROUP_SQL),
 }

@@ -93,3 +93,26 @@ def test_event_paths_total_mass(spark):
         .count()
     )
     assert got == want
+
+
+def test_linreg_r2_bounds_and_exact_fit_on_synthetic(spark):
+    """r2 in [0, 1] on real data; and on a synthetic exact-linear frame
+    the native regr_* aggregates must recover slope/intercept exactly."""
+    rows = CATALOG["linreg_by_group"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["r2"] is not None:
+            assert -1e-9 <= r["r2"] <= 1 + 1e-9
+        assert r["n_docs"] >= 1
+    df = spark.createDataFrame(
+        [("g", float(x), 3.0 * x + 7.0) for x in range(10)],
+        "lang string, x double, y double",
+    )
+    got = df.groupBy("lang").agg(
+        F.expr("regr_slope(y, x)").alias("s"),
+        F.expr("regr_intercept(y, x)").alias("i"),
+        F.expr("regr_r2(y, x)").alias("r2"),
+    ).collect()[0]
+    assert abs(got["s"] - 3.0) < 1e-9
+    assert abs(got["i"] - 7.0) < 1e-9
+    assert abs(got["r2"] - 1.0) < 1e-9
