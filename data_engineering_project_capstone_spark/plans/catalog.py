@@ -4141,7 +4141,12 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the nine round-6 registrations (kl_source_drift,
+# this round — the THIRTY-THREE round-6 registrations (they exceed a
+# 50-slot window minus canary+backlog, so split across r7 and r8: r7
+# takes the oldest-registered two-thirds plus the four r4 deferrals,
+# r8 takes the rest; every one is both-SF oracle-verified and swept
+# locally, so the only missing signal is the external driver row).
+# The thirty-three: (kl_source_drift,
 # dsir_importance, exact_substr_spans, curation_pipeline from
 # catalog_r6; bpe_merge_pairs, decontaminate_embedding, semdedup_prune,
 # shard_balance, boilerplate_windows, perplexity_score,
