@@ -1,0 +1,47 @@
+"""Partition-count invariance: results must be identical when the
+shuffle partition count changes — the local stand-in for 'same answer on
+a 32-core laptop and a 1000-executor cluster'.
+
+Covers the entry classes where partitioning is most tempting to leak
+into results: window dedup (per-partition order), top-k (partial heaps),
+sessionization (per-user windows), hash-keyed sampling, iterative ML
+(float fold order), and the XOR fingerprint (commutative fold).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+ENTRIES = [
+    "dedup_first_wins",
+    "topk_per_group",
+    "events_sessionize",
+    "sample_weighted",
+    "kmeans_embeddings",
+    "table_fingerprints",
+    "pagerank_event_graph",
+    "sketch_cms_topk",
+]
+
+
+def _rows(spark, name):
+    return sorted(
+        tuple(r) for r in CATALOG[name].spark_fn(spark, SF).collect()
+    )
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_under_shuffle_partition_count(spark, name):
+    base_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        seven = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        thirty_two = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_conf)
+    assert seven == thirty_two, f"{name}: result depends on partition count"
