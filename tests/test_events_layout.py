@@ -34,6 +34,14 @@ ENTRIES = [
     "join_asof_events",
     "events_gap_stats",
     "events_multires_rollup",
+    # r6c-f events consumers (all go through the same events_table
+    # normalization; a layout regression must not silently skip them)
+    "events_transition_matrix",
+    "events_anomaly_zscore",
+    "events_time_decay",
+    "rolling_distinct_users",
+    "join_range_buckets",
+    "event_paths",
 ]
 
 
