@@ -204,6 +204,7 @@ def click_purchase_funnel(
     purchases: DataFrame,
     max_lag_minutes: int = 60,
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases attributed to the same
     user's click within ``max_lag_minutes``. Both sides carry watermarks
@@ -211,6 +212,14 @@ def click_purchase_funnel(
     side's buffered state is evictable — the canonical funnel/attribution
     join. Works identically on batch DataFrames (watermarks are a no-op
     there), which is what the equivalence test exploits.
+
+    ``join_type="leftOuter"`` keeps UNCONVERTED clicks: Spark holds the
+    null-match back until the watermark proves no in-window purchase can
+    still arrive, then emits the click with NULL purchase columns — the
+    abandonment/non-conversion readout. The outer side therefore emits
+    LATE by construction (one watermark delay after the window closes);
+    a downstream consumer must not treat null rows as "missing", only
+    as "not yet provably unmatched" until the watermark passes.
     """
     c = clicks.select(
         F.col("user_id").alias("c_user_id"),
@@ -235,7 +244,7 @@ def click_purchase_funnel(
             <= F.col("click_ts") + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")
         )
     )
-    return c.join(p, cond, "inner").select(
+    return c.join(p, cond, join_type).select(
         F.col("c_user_id").alias("user_id"),
         "click_id",
         "click_ts",

@@ -254,3 +254,86 @@ def test_sessionize_batch_gap_semantics(spark):
     s1, s2 = sorted(by_user[100], key=lambda r: r["session_seq"])
     assert s1["n_events"] == 2 and s2["n_events"] == 1
     assert len(by_user[200]) == 1
+
+
+def test_funnel_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: an unconverted click must emit with
+    NULL purchase columns — but only after the watermark proves no
+    in-window purchase can still arrive. Before that proof, nothing."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def add_file(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, src / f"{name}.parquet")
+
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    # user 1 converts; user 2 never does
+    add_file(
+        "b1",
+        [
+            (1, 1, "click", t0, 0.0),
+            (2, 2, "click", t0, 0.0),
+            (11, 1, "purchase", t0 + 10 * m, 5.0),
+        ],
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).parquet(str(src))
+    funnel = click_purchase_funnel(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_lag_minutes=60,
+        watermark="2 hours",
+        join_type="leftOuter",
+    )
+    q = (
+        funnel.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_outer")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM funnel_outer").collect()
+        }
+        # watermark has not passed: user 2's non-conversion is unproven
+        assert rows == {(1, 11)}, rows
+        # far-future heartbeats on both sides push the watermark past
+        # t0 + 60min + 2h — user 2's click is now provably unmatched
+        add_file(
+            "b2",
+            [
+                (901, 901, "click", t0 + 10 * h, 0.0),
+                (902, 902, "purchase", t0 + 10 * h, 0.0),
+            ],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # second trigger flushes eviction output
+        rows = {
+            (r["user_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM funnel_outer").collect()
+        }
+        assert (2, None) in rows, rows
+        assert (1, 11) in rows
+        # the matched click must NOT additionally emit a null-match row
+        assert (1, None) not in rows
+    finally:
+        q.stop()
