@@ -250,8 +250,62 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. VARIANT-typed semi-structured aggregation (Spark 4 native JSON type)
+# ---------------------------------------------------------------------------
+
+
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup of the props payload through Spark 4's VARIANT
+    type: ``try_parse_json`` once, ``try_variant_get`` typed paths after
+    — the open-schema route when props keys vary by event type, vs the
+    fixed-schema ``from_json`` of ``events_json_struct``.
+
+    VARIANT parses the JSON ONCE into a binary-encoded value; each
+    subsequent path access is a cheap traversal, where the
+    get_json_object alternative re-parses the string per extraction —
+    the difference compounds at many-paths-per-row. ``try_`` variants
+    return NULL on malformed input, matching the oracle's json_valid
+    guard. One map pass + one tiny groupBy."""
+    ev = t(spark, sf_dir, "events")
+    k = F.try_variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "long"
+    )
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_valid_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_VARIANT_SQL = """
+WITH x AS (
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_valid_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 R6F_ENTRIES: dict[str, Entry] = {
     "info_gain_terms": Entry(info_gain_terms, _info_gain_sql()),
     "event_paths": Entry(event_paths, EVENT_PATHS_SQL),
     "linreg_by_group": Entry(linreg_by_group, LINREG_BY_GROUP_SQL),
+    "events_json_variant": Entry(events_json_variant, EVENTS_JSON_VARIANT_SQL),
 }

@@ -47,6 +47,7 @@ ENTRIES = [
     "agg_correlation",
     "pagerank_event_graph",
     "event_paths",
+    "events_json_variant",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
