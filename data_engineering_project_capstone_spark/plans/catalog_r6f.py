@@ -303,9 +303,108 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. First-touch / last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_MIN = 60
+
+
+def join_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch AND last-touch attribution in one pass: for every
+    purchase, the earliest and latest click by the same user in the
+    preceding 60 minutes, plus the click count — the two-sided as-of
+    readout a single asof join can't give.
+
+    Scale shape: the candidate join is equi on user_id with a bounded
+    time predicate (user-keyed hash join; a user's event history bounds
+    the pair fan-out, never the corpus), then two row_number windows
+    partitioned by purchase_id — high-cardinality key, so the windows
+    are executor-local after one shuffle. Ties (equal click ts) break
+    by click_id on both ends. Purchases with no qualifying click drop
+    on both sides (inner join)."""
+    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+        ),
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.desc("c_ts"), F.desc("click_id")
+    )
+    ranked = pairs.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.row_number().over(w_first).alias("rn_a"),
+        F.row_number().over(w_last).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("purchase_id", "user_id")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("click_id")))
+            .cast("long")
+            .alias("first_click_id"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("click_id")))
+            .cast("long")
+            .alias("last_click_id"),
+            F.count("*").alias("n_clicks"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+JOIN_ATTRIBUTION_SQL = f"""
+WITH clicks AS (
+    SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+    FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+), purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+), ranked AS (
+    SELECT purchase_id, user_id, click_id,
+           row_number() OVER (PARTITION BY purchase_id
+                              ORDER BY c_ts, click_id) AS rn_a,
+           row_number() OVER (PARTITION BY purchase_id
+                              ORDER BY c_ts DESC, click_id DESC) AS rn_d
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.c_user
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts >= p.p_ts - INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+)
+SELECT purchase_id, user_id,
+       CAST(max(CASE WHEN rn_a = 1 THEN click_id END) AS BIGINT)
+           AS first_click_id,
+       CAST(max(CASE WHEN rn_d = 1 THEN click_id END) AS BIGINT)
+           AS last_click_id,
+       count(*) AS n_clicks
+FROM ranked
+GROUP BY purchase_id, user_id
+ORDER BY purchase_id
+"""
+
+
 R6F_ENTRIES: dict[str, Entry] = {
     "info_gain_terms": Entry(info_gain_terms, _info_gain_sql()),
     "event_paths": Entry(event_paths, EVENT_PATHS_SQL),
     "linreg_by_group": Entry(linreg_by_group, LINREG_BY_GROUP_SQL),
     "events_json_variant": Entry(events_json_variant, EVENTS_JSON_VARIANT_SQL),
+    "join_attribution_window": Entry(
+        join_attribution_window, JOIN_ATTRIBUTION_SQL
+    ),
 }

@@ -48,6 +48,7 @@ ENTRIES = [
     "pagerank_event_graph",
     "event_paths",
     "events_json_variant",
+    "join_attribution_window",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)

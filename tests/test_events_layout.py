@@ -42,6 +42,7 @@ ENTRIES = [
     "rolling_distinct_users",
     "join_range_buckets",
     "event_paths",
+    "join_attribution_window",
 ]
 
 

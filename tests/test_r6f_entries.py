@@ -116,3 +116,20 @@ def test_linreg_r2_bounds_and_exact_fit_on_synthetic(spark):
     assert abs(got["s"] - 3.0) < 1e-9
     assert abs(got["i"] - 7.0) < 1e-9
     assert abs(got["r2"] - 1.0) < 1e-9
+
+
+def test_attribution_first_not_after_last_and_asof_consistent(spark):
+    """first click <= last click in time; n_clicks >= 1; when
+    n_clicks == 1 both touches are the same click."""
+    rows = CATALOG["join_attribution_window"].spark_fn(spark, SF).collect()
+    assert rows
+    ev = events_table(spark, SF).filter(F.col("ts").isNotNull())
+    click_ts = {
+        r["event_id"]: r["ts"]
+        for r in ev.filter(F.col("event_type") == "click").collect()
+    }
+    for r in rows:
+        assert r["n_clicks"] >= 1
+        assert click_ts[r["first_click_id"]] <= click_ts[r["last_click_id"]]
+        if r["n_clicks"] == 1:
+            assert r["first_click_id"] == r["last_click_id"]
