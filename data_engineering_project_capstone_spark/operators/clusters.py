@@ -97,7 +97,13 @@ def connected_components(
         if probing or (not check_convergence and (it + 1) % probe_every == 0):
             labels = labels.localCheckpoint(eager=True)
         if probing:
-            cur = labels.agg(F.sum("component")).collect()[0][0]
+            # decimal(38,0): labels may be full-range 64-bit hashes
+            # (graphs keyed on xxhash64 ids) whose long sum overflows
+            # under ANSI; the decimal sum is exact, so the monotone-
+            # decrease convergence argument is unchanged
+            cur = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).collect()[0][0]
             if prev_sum is not None and cur == prev_sum:
                 converged = True
                 break

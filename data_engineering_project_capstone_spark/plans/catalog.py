@@ -4158,8 +4158,9 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # chi_square_independence, table_fingerprints from catalog_r6d;
 # pagerank_event_graph, kmeans_embeddings, nb_source_classifier,
 # logreg_gd_weights from catalog_r6e; info_gain_terms, event_paths,
-# linreg_by_group, events_json_variant, join_attribution_window from
-# catalog_r6f; all both-SF oracle-verified locally)
+# linreg_by_group, events_json_variant, join_attribution_window,
+# er_golden_records (+check_er_mass twin) from catalog_r6f; all both-SF
+# oracle-verified locally (er_golden_records rows-only by design))
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table
 # consumer as canary, fill the rest with the oldest records (the r5

@@ -399,6 +399,135 @@ ORDER BY purchase_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Entity resolution end-to-end: block → score → cluster → survive
+# ---------------------------------------------------------------------------
+
+
+def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ER core: fuzzy part-name pairs (the fuzzy_name_pairs
+    blocking+scoring) → connected components → (id=name, component).
+
+    Names are hashed to xxhash64 longs for the propagation (the CC
+    label-sum convergence probe needs numeric labels, and 8-byte keys
+    beat strings on the shuffle anyway — the same trade keys.py makes
+    for fact keys); the name↔hash mapping joins back after. A 64-bit
+    collision over a distinct-name domain is ~n²/2⁶⁵ — and would only
+    merge two clusters, never crash."""
+    from ..operators.clusters import connected_components
+
+    pairs = fuzzy_pairs_for_er(spark, sf_dir)
+    hashed = pairs.select(
+        F.xxhash64("name_a").alias("name_a"),
+        F.xxhash64("name_b").alias("name_b"),
+    )
+    comp = connected_components(
+        hashed, id_a="name_a", id_b="name_b", max_iterations=6
+    )
+    names = (
+        pairs.select(F.col("name_a").alias("name"))
+        .union(pairs.select("name_b"))
+        .distinct()
+        .withColumn("h", F.xxhash64("name"))
+    )
+    return names.join(comp, names["h"] == comp["id"]).select(
+        F.col("name").alias("id"), "component"
+    )
+
+
+def fuzzy_pairs_for_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("s")).distinct().withColumn(
+        "blk", F.split(F.col("s"), " ").getItem(0)
+    )
+    a = names.select("blk", F.col("s").alias("name_a"))
+    b = names.select("blk", F.col("s").alias("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select("name_a", "name_b")
+    )
+
+
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-blocked name pairs →
+    connected components → golden-record survivorship (canonical name =
+    min of the cluster, member count, summed retail price across every
+    part row the cluster covers).
+
+    Iterative CC is not single-SQL-expressible, so this entry is
+    rows-only at the driver; ``check_er_mass`` is its oracle-checkable
+    invariant twin (node-set and price-mass conservation, computable
+    from the PAIR graph alone), and tests/test_r6f_entries.py
+    differential-tests the clustering against a Python union-find.
+
+    Scale shape: pairs are block-bounded (fuzzy_name_pairs discipline),
+    CC is one shuffle per round on a graph whose components are
+    block-bounded cliques-ish (≤ 6 rounds), survivorship is one
+    groupBy + one name-keyed join back to the part rows."""
+    labels = _er_clusters(spark, sf_dir)
+    part = t(spark, sf_dir, "part")
+    member_rows = part.join(
+        labels, part["p_name"] == labels["id"]
+    ).select("component", "p_name", "p_retailprice")
+    return (
+        member_rows.groupBy("component")
+        .agg(
+            F.min("p_name").alias("golden_name"),
+            F.countDistinct("p_name").alias("n_name_variants"),
+            F.count("*").alias("n_part_rows"),
+            ieee_round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+        .select(
+            "golden_name", "n_name_variants", "n_part_rows", "total_price"
+        )
+        .orderBy("golden_name")
+    )
+
+
+def check_er_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible invariant twin of er_golden_records: clustering
+    must exactly preserve the pair graph's node set and the covered
+    part rows' count and price mass — all three computable from the
+    PAIR graph alone, which DuckDB can build with the same blocked
+    levenshtein join."""
+    labels = _er_clusters(spark, sf_dir)
+    part = t(spark, sf_dir, "part")
+    member_rows = part.join(labels, part["p_name"] == labels["id"])
+    return (
+        labels.agg(F.countDistinct("id").alias("n_clustered_names"))
+        .crossJoin(
+            member_rows.agg(
+                F.count("*").cast("long").alias("n_covered_rows"),
+                ieee_round(F.sum("p_retailprice"), 2).alias(
+                    "covered_price"
+                ),
+            )
+        )
+    )
+
+
+CHECK_ER_MASS_SQL = """
+WITH names AS (
+    SELECT DISTINCT p_name AS s FROM part
+), b AS (
+    SELECT s, string_split(s, ' ')[1] AS blk FROM names
+), pairs AS (
+    SELECT a.s AS name_a, c.s AS name_b
+    FROM b a JOIN b c ON a.blk = c.blk AND a.s < c.s
+    WHERE levenshtein(a.s, c.s) <= 3
+), nodes AS (
+    SELECT name_a AS s FROM pairs UNION SELECT name_b FROM pairs
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_clustered_names,
+       CAST((SELECT count(*) FROM part JOIN nodes ON p_name = s) AS BIGINT)
+           AS n_covered_rows,
+       (SELECT floor(sum(p_retailprice) * 100.0 + 0.5) / 100.0
+        FROM part JOIN nodes ON p_name = s) AS covered_price
+"""
+
+
 R6F_ENTRIES: dict[str, Entry] = {
     "info_gain_terms": Entry(info_gain_terms, _info_gain_sql()),
     "event_paths": Entry(event_paths, EVENT_PATHS_SQL),
@@ -407,4 +536,6 @@ R6F_ENTRIES: dict[str, Entry] = {
     "join_attribution_window": Entry(
         join_attribution_window, JOIN_ATTRIBUTION_SQL
     ),
+    "er_golden_records": Entry(er_golden_records, None),  # rows-only: CC
+    "check_er_mass": Entry(check_er_mass, CHECK_ER_MASS_SQL),
 }

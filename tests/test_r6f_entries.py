@@ -133,3 +133,53 @@ def test_attribution_first_not_after_last_and_asof_consistent(spark):
         assert click_ts[r["first_click_id"]] <= click_ts[r["last_click_id"]]
         if r["n_clicks"] == 1:
             assert r["first_click_id"] == r["last_click_id"]
+
+
+def test_er_clusters_match_python_union_find(spark):
+    """The ER clustering must equal a Python union-find over the same
+    fuzzy pair set, and golden records must conserve name/row/price
+    mass against the raw part table."""
+    from data_engineering_project_capstone_spark.plans.catalog_r6f import (
+        _er_clusters,
+        fuzzy_pairs_for_er,
+    )
+
+    pairs = [
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs_for_er(spark, SF).collect()
+    ]
+    assert pairs, "no fuzzy pairs at sf0.001 — test vacuous"
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in parent:
+        want.setdefault(find(node), set()).add(node)
+    got = {}
+    for r in _er_clusters(spark, SF).collect():
+        got.setdefault(r["component"], set()).add(r["id"])
+    assert sorted(map(sorted, want.values())) == sorted(
+        map(sorted, got.values())
+    )
+
+    # golden-record mass conservation vs the raw part table
+    golden = CATALOG["er_golden_records"].spark_fn(spark, SF).collect()
+    clustered_names = {n for c in want.values() for n in c}
+    part = t(spark, SF, "part").collect()
+    covered = [p for p in part if p["p_name"] in clustered_names]
+    assert sum(r["n_part_rows"] for r in golden) == len(covered)
+    assert sum(r["n_name_variants"] for r in golden) == len(clustered_names)
+    assert abs(
+        sum(r["total_price"] for r in golden)
+        - sum(p["p_retailprice"] for p in covered)
+    ) < 1e-4
