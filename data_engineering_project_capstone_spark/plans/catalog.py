@@ -4047,6 +4047,10 @@ from .catalog_r6f import R6F_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R6F_ENTRIES)
 
+from .catalog_r6g import R6G_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6G_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4159,7 +4163,8 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # pagerank_event_graph, kmeans_embeddings, nb_source_classifier,
 # logreg_gd_weights from catalog_r6e; info_gain_terms, event_paths,
 # linreg_by_group, events_json_variant, join_attribution_window,
-# er_golden_records (+check_er_mass twin) from catalog_r6f; all both-SF
+# er_golden_records (+check_er_mass twin) from catalog_r6f;
+# user_activity_features, pit_features from catalog_r6g; all both-SF
 # oracle-verified locally (er_golden_records rows-only by design))
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table

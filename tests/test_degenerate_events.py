@@ -49,6 +49,8 @@ ENTRIES = [
     "event_paths",
     "events_json_variant",
     "join_attribution_window",
+    "user_activity_features",
+    "pit_features",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)

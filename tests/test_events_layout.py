@@ -43,6 +43,7 @@ ENTRIES = [
     "join_range_buckets",
     "event_paths",
     "join_attribution_window",
+    "pit_features",
 ]
 
 
