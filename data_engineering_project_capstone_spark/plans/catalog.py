@@ -4051,6 +4051,10 @@ from .catalog_r6g import R6G_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R6G_ENTRIES)
 
+from .catalog_r6h import R6H_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6H_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4145,7 +4149,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the THIRTY-THREE round-6 registrations (they exceed a
+# this round — the FORTY-TWO round-6 registrations (they exceed a
 # 50-slot window minus canary+backlog, so split across r7 and r8: r7
 # takes the oldest-registered two-thirds plus the four r4 deferrals,
 # r8 takes the rest; every one is both-SF oracle-verified and swept
@@ -4164,7 +4168,8 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # logreg_gd_weights from catalog_r6e; info_gain_terms, event_paths,
 # linreg_by_group, events_json_variant, join_attribution_window,
 # er_golden_records (+check_er_mass twin) from catalog_r6f;
-# user_activity_features, pit_features from catalog_r6g; all both-SF
+# user_activity_features, pit_features from catalog_r6g;
+# simjoin_prefix, graph_triangles, basket_lift from catalog_r6h; all both-SF
 # oracle-verified locally (er_golden_records rows-only by design))
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table

@@ -1,0 +1,406 @@
+"""Round-6h catalog entries — exact set-similarity join and graph/basket
+co-occurrence analytics:
+
+- ``simjoin_prefix``: EXACT shingle-Jaccard self-join at θ=0.6 via
+  prefix filtering (the AllPairs/PPJoin candidate-generation family).
+  Unlike the MinHash/min-shingle-blocking dedup entries (probabilistic
+  — they can miss pairs), prefix filtering is LOSSLESS: order each
+  doc's shingles by ascending global frequency and only the first
+  ``s − ⌈θ·s⌉ + 1`` of them can witness a qualifying pair, so an
+  equi-join on prefix shingles generates every candidate. The oracle
+  SQL is deliberately the NAIVE exact formulation (all shared-shingle
+  pairs, no filter) — a hash match proves the pruning loses nothing.
+- ``graph_triangles``: triangle counts + local clustering coefficient
+  on the part co-order graph (parts are linked when some order buys
+  both), using degree orientation — every edge points from the
+  (degree, id)-smaller endpoint to the larger, so each triangle is
+  enumerated exactly once from its smallest corner and the wedge join
+  fans out on out-degree ≤ √(2|E|) instead of raw degree.
+- ``basket_lift``: association rules over per-order brand baskets —
+  directional support / confidence / lift, the market-basket readout
+  (token-level PMI's transaction-level sibling).
+
+Float parity: the θ decision uses INTEGER arithmetic on both engines
+(``5·inter ≥ 3·union`` for θ = 3/5; prefix length via integer
+ceil-division ``(3s+4) DIV 5``) so no IEEE boundary can ever disagree
+about membership; floats appear only in the final rounded readout
+columns. Same contract as ``plans.catalog`` otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ieee_round
+from ..operators.dedup import shingles_from_tokens
+from ..operators.text import tokens
+from .catalog import Entry, sql_ieee_round, t
+
+# ---------------------------------------------------------------------------
+# 1. Prefix-filtered exact similarity self-join
+# ---------------------------------------------------------------------------
+
+# θ = 3/5. Kept as a ratio so every threshold decision is integer math.
+_SJ_NUM, _SJ_DEN = 3, 5
+
+
+def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-shingle Jaccard ≥ 0.6, found by prefix
+    filtering (rare-shingle-first ordering), verified exactly.
+
+    Scale shape: one shingle-keyed shuffle join attaches global
+    frequencies (data × vocab, co-partitioned), one groupBy rebuilds
+    the per-doc array sorted rare-first, and the candidate join
+    explodes only the prefix — ~(1−θ)·s shingles per doc instead of s,
+    and each prefix shingle is globally RARE by construction, so
+    candidate buckets stay small exactly where a naive shared-shingle
+    join blows up (a stopword shingle shared by every doc lands in
+    nobody's prefix once s is large). The verify stage re-joins the
+    full sorted arrays and intersects hash-free; the θ test is
+    ``5·inter ≥ 3·union`` in integers, so both engines make identical
+    keep/drop decisions. Length filter ``5·min(sa,sb) ≥ 3·max(sa,sb)``
+    prunes candidates before the distinct.
+
+    Empty/NULL docs have zero shingles (engine-wide null policy) and
+    vanish before the explode on both sides."""
+    docs = t(spark, sf_dir, "documents")
+    sets = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
+        )
+        .select("id", shingles_from_tokens("_toks", 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    tk = sets.select("id", F.explode("sh").alias("s3"))
+    dfr = tk.groupBy("s3").agg(F.count("*").alias("dfc"))
+    ordered = (
+        tk.join(dfr, "s3")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("dfc", "s3"))).alias("osh"))
+        .select(
+            "id",
+            F.transform("osh", lambda x: x["s3"]).alias("osh"),
+            F.size("osh").alias("s"),
+        )
+    )
+    # prefix length p = s − ⌈θ·s⌉ + 1, integer ceil-division (θ = 3/5)
+    p = F.col("s") - F.expr(f"(s * {_SJ_NUM} + {_SJ_DEN - 1}) div {_SJ_DEN}") + 1
+    pref = ordered.select(
+        "id", "s", F.explode(F.slice("osh", F.lit(1), p)).alias("s3")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s3") == F.col("b.s3"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: Jaccard ≥ θ requires θ·max(sa,sb) ≤ min(sa,sb)
+            & (
+                F.least("a.s", "b.s") * _SJ_DEN
+                >= F.greatest("a.s", "b.s") * _SJ_NUM
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    fa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
+    fb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("_i"),
+            union.alias("_u"),
+        )
+        .filter(F.col("_i") * _SJ_DEN >= F.col("_u") * _SJ_NUM)
+        .select(
+            "id_a",
+            "id_b",
+            ieee_round(F.col("_i") / F.col("_u"), 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# The oracle is the NAIVE exact join — every pair sharing ANY shingle,
+# θ-filtered with the same integer test. Any pair the prefix filter
+# missed (or invented) breaks the hash match, so correctness of the
+# pruning is what the differential actually certifies.
+SIMJOIN_PREFIX_SQL = f"""
+WITH sh AS (
+    SELECT doc_id AS id, shingles
+    FROM (
+        SELECT doc_id,
+               list_filter(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))),
+                   s -> s <> '') AS shingles
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+              FROM documents)
+    )
+    WHERE len(shingles) > 0
+),
+tk AS (SELECT id, unnest(shingles) AS s3 FROM sh),
+sizes AS (SELECT id, len(shingles) AS s FROM sh),
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+    FROM tk a JOIN tk b ON a.s3 = b.s3 AND a.id < b.id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT id_a, id_b, i, sa.s + sb.s - i AS u
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+)
+SELECT id_a, id_b, {sql_ieee_round("i * 1.0 / u", 4)} AS jaccard
+FROM j
+WHERE i * {_SJ_DEN} >= u * {_SJ_NUM}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Degree-oriented triangle counting
+# ---------------------------------------------------------------------------
+
+_TRI_TOP_K = 20
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K parts by triangle participation in the co-order graph,
+    with degree and local clustering coefficient 2T/(d(d−1)).
+
+    Scale shape: the classic compact-forward orientation — every
+    undirected edge is directed from its (degree, id)-smaller endpoint
+    to the larger under one global total order, so (a) each triangle
+    is generated exactly once, from its smallest corner, and (b) the
+    wedge self-join fans out on OUT-degree, which orientation bounds
+    by O(√|E|) regardless of how skewed the raw degrees are — the
+    celebrity node that makes a naive wedge join quadratic points all
+    its edges inward. Wedge endpoints are ordered by the SAME total
+    order, so the closing edge is a single equi-join on (src, dst) —
+    no OR-disjunction, no second probe. Per-node counts explode the 3
+    corners of each triangle once."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    la, lb = li.alias("la"), li.alias("lb")
+    e = (
+        la.join(
+            lb,
+            (F.col("la.ok") == F.col("lb.ok")) & (F.col("la.pk") < F.col("lb.pk")),
+        )
+        .select(F.col("la.pk").alias("pa"), F.col("lb.pk").alias("pb"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("v"))
+        .unionAll(e.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("dega"))
+    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("degb"))
+    ed = e.join(da, "pa").join(db, "pb")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
+    )
+    dire = ed.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("degd"),
+    )
+    w1, w2 = dire.alias("w1"), dire.alias("w2")
+    # out-neighbor pairs of each src, ordered by the same (deg, id) order
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.degd") < F.col("w2.degd"))
+            | (
+                (F.col("w1.degd") == F.col("w2.degd"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(
+        F.col("w1.src").alias("a"),
+        F.col("w1.dst").alias("x"),
+        F.col("w2.dst").alias("y"),
+    )
+    closing = dire.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("tri"))
+    )
+    return (
+        per_node.join(deg, "v")
+        .select(
+            F.col("v").alias("part_key"),
+            F.col("d").cast("long").alias("degree"),
+            F.col("tri").cast("long").alias("triangles"),
+            ieee_round(
+                F.lit(2.0) * F.col("tri") / (F.col("d") * (F.col("d") - 1)), 6
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("triangles"), "part_key")
+        .limit(_TRI_TOP_K)
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+e AS (
+    SELECT DISTINCT a.pk AS pa, b.pk AS pb
+    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+    GROUP BY v
+),
+dir_e AS MATERIALIZED (
+    SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pa ELSE e.pb END AS src,
+           CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pb ELSE e.pa END AS dst,
+           CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN db.d ELSE da.d END AS degd
+    FROM e
+    JOIN deg da ON da.v = e.pa
+    JOIN deg db ON db.v = e.pb
+),
+tri AS MATERIALIZED (
+    SELECT w1.src AS a, w1.dst AS x, w2.dst AS y
+    FROM dir_e w1
+    JOIN dir_e w2 ON w1.src = w2.src
+                 AND (w1.degd, w1.dst) < (w2.degd, w2.dst)
+    JOIN dir_e c ON c.src = w1.dst AND c.dst = w2.dst
+),
+per_node AS (
+    SELECT v, count(*) AS tri
+    FROM (SELECT a AS v FROM tri UNION ALL SELECT x FROM tri
+          UNION ALL SELECT y FROM tri)
+    GROUP BY v
+)
+SELECT p.v AS part_key,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(p.tri AS BIGINT) AS triangles,
+       {sql_ieee_round("2.0 * p.tri / (deg.d * (deg.d - 1))", 6)}
+           AS clustering_coeff
+FROM per_node p JOIN deg ON deg.v = p.v
+ORDER BY triangles DESC, part_key
+LIMIT {_TRI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Market-basket association rules (brand baskets)
+# ---------------------------------------------------------------------------
+
+# relative minimum support: a rule must appear in ≥ 1/_BL_SUPPORT_DEN of
+# all baskets (0.5%). Relative, not absolute, so the rule set is
+# SF-stable; the test is integer (sab·den ≥ n) on both engines.
+_BL_SUPPORT_DEN = 200
+_BL_TOP_K = 20
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K directional brand association rules by lift over per-order
+    baskets: support(a→b), confidence(a→b) = s(ab)/s(a), and
+    lift = n·s(ab)/(s(a)·s(b)), with a relative minimum-support floor.
+
+    Scale shape: baskets come from one broadcast dim join
+    (lineitem × part) plus a distinct; the pair count is a self-join
+    on the order key where the per-order fan-out is bounded by basket
+    size squared (brands per order, ≤ a few dozen), not by data volume.
+    Brand marginals are a 25-row aggregate joined back via broadcast;
+    the grand total rides a 1-row broadcast crossJoin. Ordering is by
+    the ROUNDED lift so both engines sort identical doubles, ties by
+    (brand_a, brand_b)."""
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    bk = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = bk.select("ok").distinct().agg(F.count("*").alias("n"))
+    marg = bk.groupBy("b").agg(F.count("*").alias("s"))
+    xa, xb = bk.alias("xa"), bk.alias("xb")
+    pair = (
+        xa.join(
+            xb,
+            (F.col("xa.ok") == F.col("xb.ok")) & (F.col("xa.b") != F.col("xb.b")),
+        )
+        .groupBy(
+            F.col("xa.b").alias("brand_a"), F.col("xb.b").alias("brand_b")
+        )
+        .agg(F.count("*").alias("sab"))
+    )
+    ma = marg.select(F.col("b").alias("brand_a"), F.col("s").alias("sa"))
+    mb = marg.select(F.col("b").alias("brand_b"), F.col("s").alias("sb"))
+    return (
+        pair.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("sab") * _BL_SUPPORT_DEN >= F.col("n"))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("sab").cast("long").alias("support_count"),
+            ieee_round(F.col("sab") / F.col("n"), 6).alias("support"),
+            ieee_round(F.col("sab") / F.col("sa"), 6).alias("confidence"),
+            ieee_round(
+                F.col("sab") * F.col("n") / (F.col("sa") * F.col("sb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(_BL_TOP_K)
+    )
+
+
+BASKET_LIFT_SQL = f"""
+WITH bk AS (
+    SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT count(DISTINCT ok) AS n FROM bk),
+marg AS (SELECT b, count(*) AS s FROM bk GROUP BY b),
+pair AS (
+    SELECT a.b AS brand_a, x.b AS brand_b, count(*) AS sab
+    FROM bk a JOIN bk x ON a.ok = x.ok AND a.b <> x.b
+    GROUP BY 1, 2
+)
+SELECT brand_a, brand_b,
+       CAST(sab AS BIGINT) AS support_count,
+       {sql_ieee_round("sab * 1.0 / n.n", 6)} AS support,
+       {sql_ieee_round("sab * 1.0 / ma.s", 6)} AS confidence,
+       {sql_ieee_round("sab * 1.0 * n.n / (ma.s * mb.s)", 6)} AS lift
+FROM pair
+JOIN marg ma ON ma.b = brand_a
+JOIN marg mb ON mb.b = brand_b
+CROSS JOIN n
+WHERE sab * {_BL_SUPPORT_DEN} >= n.n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT {_BL_TOP_K}
+"""
+
+
+R6H_ENTRIES: dict[str, Entry] = {
+    "simjoin_prefix": Entry(simjoin_prefix, SIMJOIN_PREFIX_SQL),
+    "graph_triangles": Entry(graph_triangles, GRAPH_TRIANGLES_SQL),
+    "basket_lift": Entry(basket_lift, BASKET_LIFT_SQL),
+}
