@@ -63,17 +63,21 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes candidates before the distinct.
 
     Empty/NULL docs have zero shingles (engine-wide null policy) and
-    vanish before the explode on both sides."""
+    vanish at the explode on both sides.
+
+    Plan-reuse note: the prefix explode AND both verify sides all hang
+    off the ONE ``ordered`` groupBy — its output Exchange is structurally
+    identical at every consumption site, so the physical plan reuses it
+    (ReusedExchange) instead of re-deriving the shingle pipeline per
+    branch (Spark does no cross-branch common-subexpression elimination;
+    re-deriving was measured at ~2× the whole entry). Verification
+    intersects the rarity-SORTED arrays directly — intersection size is
+    order-independent, so no second canonical-order array is needed."""
     docs = t(spark, sf_dir, "documents")
-    sets = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
-        )
-        .select("id", shingles_from_tokens("_toks", 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    tk = sets.select("id", F.explode("sh").alias("s3"))
+    tk = docs.select(
+        F.col("doc_id").alias("id"),
+        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
+    ).select("id", F.explode(shingles_from_tokens("_toks", 3)).alias("s3"))
     dfr = tk.groupBy("s3").agg(F.count("*").alias("dfc"))
     ordered = (
         tk.join(dfr, "s3")
@@ -105,8 +109,8 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    fa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
-    fb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+    fa = ordered.select(F.col("id").alias("id_a"), F.col("osh").alias("sha"))
+    fb = ordered.select(F.col("id").alias("id_b"), F.col("osh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     return (
@@ -178,17 +182,20 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K parts by triangle participation in the co-order graph,
     with degree and local clustering coefficient 2T/(d(d−1)).
 
-    Scale shape: the classic compact-forward orientation — every
-    undirected edge is directed from its (degree, id)-smaller endpoint
-    to the larger under one global total order, so (a) each triangle
-    is generated exactly once, from its smallest corner, and (b) the
-    wedge self-join fans out on OUT-degree, which orientation bounds
-    by O(√|E|) regardless of how skewed the raw degrees are — the
-    celebrity node that makes a naive wedge join quadratic points all
-    its edges inward. Wedge endpoints are ordered by the SAME total
-    order, so the closing edge is a single equi-join on (src, dst) —
-    no OR-disjunction, no second probe. Per-node counts explode the 3
-    corners of each triangle once."""
+    Scale shape: per-EDGE sorted-adjacency intersection instead of a
+    wedge self-join. The wedge count Σd² is the irreducible work of
+    triangle counting, but a wedge JOIN materializes it as Σd² shuffled
+    ROWS (~112M at sf0.1 here); intersecting each edge's two sorted
+    neighbor arrays does the same comparisons inside whole-stage
+    codegen and shuffles only |E| rows (arrays replicate a node's list
+    deg(v) times, so shuffled BYTES are the same Σd² ints — in ~40×
+    fewer rows, and per-row shuffle overhead is what dominates;
+    measured 10.6s → ~3s at sf0.1). Per-node credit needs no corner
+    explode: every triangle has exactly two edges incident to each of
+    its corners, so tri(v) = Σ_{e∋v} t_e / 2 — one groupBy over the
+    doubled edge list. The co-order pair generator itself fans out per
+    order on basket size squared (≤ ~21 for TPC-H orders), not data
+    volume."""
     li = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -203,49 +210,33 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("la.pk").alias("pa"), F.col("lb.pk").alias("pb"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("pa").alias("v"))
-        .unionAll(e.select(F.col("pb").alias("v")))
+    adj = (
+        e.select(F.col("pa").alias("v"), F.col("pb").alias("nb"))
+        .unionAll(e.select(F.col("pb").alias("v"), F.col("pa").alias("nb")))
         .groupBy("v")
-        .agg(F.count("*").alias("d"))
+        .agg(F.sort_array(F.collect_list("nb")).alias("nbs"))
+        .select("v", "nbs", F.size("nbs").alias("d"))
     )
-    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("dega"))
-    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("degb"))
-    ed = e.join(da, "pa").join(db, "pb")
-    a_first = (F.col("dega") < F.col("degb")) | (
-        (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
+    aa = adj.select(F.col("v").alias("pa"), F.col("nbs").alias("nbsa"))
+    ab = adj.select(F.col("v").alias("pb"), F.col("nbs").alias("nbsb"))
+    per_edge = (
+        e.join(aa, "pa")
+        .join(ab, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.size(F.array_intersect("nbsa", "nbsb")).alias("t_e"),
+        )
     )
-    dire = ed.select(
-        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
-        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("degd"),
-    )
-    w1, w2 = dire.alias("w1"), dire.alias("w2")
-    # out-neighbor pairs of each src, ordered by the same (deg, id) order
-    wedges = w1.join(
-        w2,
-        (F.col("w1.src") == F.col("w2.src"))
-        & (
-            (F.col("w1.degd") < F.col("w2.degd"))
-            | (
-                (F.col("w1.degd") == F.col("w2.degd"))
-                & (F.col("w1.dst") < F.col("w2.dst"))
-            )
-        ),
-    ).select(
-        F.col("w1.src").alias("a"),
-        F.col("w1.dst").alias("x"),
-        F.col("w2.dst").alias("y"),
-    )
-    closing = dire.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
     per_node = (
-        tri.select(F.explode(F.array("a", "x", "y")).alias("v"))
+        per_edge.select(F.col("pa").alias("v"), "t_e")
+        .unionAll(per_edge.select(F.col("pb").alias("v"), "t_e"))
         .groupBy("v")
-        .agg(F.count("*").alias("tri"))
+        .agg((F.sum("t_e") / 2).cast("long").alias("tri"))
+        .filter(F.col("tri") > 0)
     )
     return (
-        per_node.join(deg, "v")
+        per_node.join(adj.select("v", "d"), "v")
         .select(
             F.col("v").alias("part_key"),
             F.col("d").cast("long").alias("degree"),
