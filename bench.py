@@ -59,6 +59,9 @@ HEADLINE = [
     "sketch_cms_topk",        # count-min build + broadcast readout
     "skew_salted_join",       # differential hot-key salting + union
     "pagerank_event_graph",   # 5 join+agg iterations, lineage cuts
+    # r6h additions: the two heaviest of the similarity/graph batch
+    "simjoin_prefix",         # prefix-filtered exact similarity join
+    "graph_triangles",        # per-edge adjacency-intersect triangles
 ]
 
 

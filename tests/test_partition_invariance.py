@@ -25,6 +25,8 @@ ENTRIES = [
     "table_fingerprints",
     "pagerank_event_graph",
     "sketch_cms_topk",
+    "simjoin_prefix",
+    "graph_triangles",
 ]
 
 
