@@ -27,6 +27,7 @@ ENTRIES = [
     "sketch_cms_topk",
     "simjoin_prefix",
     "graph_triangles",
+    "q15_top_supplier",
 ]
 
 
