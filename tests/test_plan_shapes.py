@@ -336,3 +336,30 @@ def test_salted_join_broadcasts_hot_list(spark):
     plan = plan_of(spark, "skew_salted_join")
     assert plan.count("BroadcastHashJoin") >= 2  # hot filter + anti join
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_tpch_classics_plan_shapes(spark):
+    """r6i classics: no SortMergeJoin anywhere (dims broadcast, facts
+    hash-join under AQE), date/flag filters reach the parquet scans,
+    and Q10's top-K is a TakeOrdered, never a global sort."""
+    for name in ["q5_local_volume", "q10_returned_items",
+                 "q14_promo_revenue", "q15_top_supplier"]:
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected SMJ"
+        assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
+    # q8's orders⋈customer edge is big-big at scale — SMJ is the right
+    # static plan there (AQE converts it at small SF); but ONLY there,
+    # and every dim edge must still broadcast
+    q8 = plan_of(spark, "q8_market_share")
+    for line in q8.splitlines():
+        if "SortMergeJoin" in line:
+            assert "o_custkey" in line and "c_custkey" in line, (
+                f"q8: SMJ allowed only on the orders⋈customer edge: {line}"
+            )
+    assert q8.count("BroadcastHashJoin") >= 5, "q8: dim edges must broadcast"
+    q10 = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in q10
+    f = formatted_plan_of(spark, "q10_returned_items")
+    compact = f.replace(" ", "")
+    assert "EqualTo(l_returnflag,R)" in compact
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in compact
