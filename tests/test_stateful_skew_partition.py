@@ -141,3 +141,39 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         assert g["n_events"] == b["n_events"], uid
         assert g["n_anomalies"] == b["n_anomalies"], uid
         assert abs(g["running_mean"] - b["running_mean"]) < 1e-9, uid
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Runtime DPP — the other half of the 100 TB layout story: a fact
+    partitioned on the join key must be pruned by a SELECTIVE dim
+    filter at runtime (the dim's matching keys become a subquery-driven
+    PartitionFilter), so a 1000-partition fact reads only the
+    partitions the dim filter selects.
+
+    Gotcha pinned here: Spark's PartitionPruning rule only fires for
+    predicate shapes it considers selective (EqualTo/In/Like/binary
+    comparisons). A bare boolean column filter (``.filter("is_focus")``)
+    is NOT recognized and silently disables DPP — which is why the dim
+    uses an equality on a string tag."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    fact_path = str(tmp_path / "fact_by_year")
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(fact_path)
+    dim_path = str(tmp_path / "year_dim")
+    orders.select("o_year").distinct().withColumn(
+        "tag", F.concat(F.lit("Y"), F.col("o_year"))
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "Y1996")
+    j = fact.join(dim, "o_year").agg(F.sum("o_totalprice").alias("tp"))
+    opt = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in opt.lower(), "DPP filter must be inserted"
+    [row] = j.collect()
+    [expect] = (
+        orders.filter(F.col("o_year") == 1996)
+        .agg(F.sum("o_totalprice").alias("tp"))
+        .collect()
+    )
+    assert abs(row["tp"] - expect["tp"]) < 1e-6 * max(1.0, abs(expect["tp"]))
