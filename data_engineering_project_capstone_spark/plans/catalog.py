@@ -4059,6 +4059,10 @@ from .catalog_r6i import R6I_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R6I_ENTRIES)
 
+from .catalog_r6j import R6J_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6J_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4153,7 +4157,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the FORTY-SEVEN round-6 registrations (they exceed a
+# this round — the FORTY-NINE round-6 registrations (they exceed a
 # 50-slot window minus canary+backlog, so split across r7 and r8: r7
 # takes the oldest-registered two-thirds plus the four r4 deferrals,
 # r8 takes the rest; every one is both-SF oracle-verified and swept
@@ -4175,7 +4179,8 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # user_activity_features, pit_features from catalog_r6g;
 # simjoin_prefix, graph_triangles, basket_lift from catalog_r6h;
 # q5_local_volume, q8_market_share, q10_returned_items,
-# q14_promo_revenue, q15_top_supplier from catalog_r6i; all both-SF
+# q14_promo_revenue, q15_top_supplier from catalog_r6i;
+# rrf_fusion, ndcg_label_eval from catalog_r6j; all both-SF
 # oracle-verified locally (er_golden_records rows-only by design))
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table
