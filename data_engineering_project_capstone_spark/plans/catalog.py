@@ -4157,7 +4157,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the FORTY-NINE round-6 registrations (they exceed a
+# this round — the FIFTY round-6 registrations (they exceed a
 # 50-slot window minus canary+backlog, so split across r7 and r8: r7
 # takes the oldest-registered two-thirds plus the four r4 deferrals,
 # r8 takes the rest; every one is both-SF oracle-verified and swept
@@ -4177,7 +4177,8 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # linreg_by_group, events_json_variant, join_attribution_window,
 # er_golden_records (+check_er_mass twin) from catalog_r6f;
 # user_activity_features, pit_features from catalog_r6g;
-# simjoin_prefix, graph_triangles, basket_lift from catalog_r6h;
+# simjoin_prefix, graph_triangles, basket_lift, graph_core_peel
+# from catalog_r6h;
 # q5_local_volume, q8_market_share, q10_returned_items,
 # q14_promo_revenue, q15_top_supplier from catalog_r6i;
 # rrf_fusion, ndcg_label_eval from catalog_r6j; all both-SF

@@ -390,8 +390,135 @@ LIMIT {_BL_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. Core peeling (graph trimming)
+# ---------------------------------------------------------------------------
+
+
+def graph_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peel rounds toward the k-core of the co-order graph with a
+    DATA-ADAPTIVE threshold k = ⌈avg degree⌉ (exact integer
+    ceil-division, so both engines pick the identical k): each round
+    drops nodes whose CURRENT degree < k and induces the subgraph.
+    Readout is the shrinkage ledger — (round, nodes, edges) for rounds
+    0/1/2 — the compact, SF-stable signature of the trim.
+
+    This is the bounded-round form of the k-core/degeneracy peel used
+    to shrink graphs before quadratic passes (the unbounded form
+    iterates to fixpoint with localCheckpoint lineage cuts, exactly
+    like operators/clusters.py's label propagation). Each round is one
+    degree aggregation plus two semi-joins — no wedge work, no
+    materialized candidate sets; everything is integer counts."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    la, lb = li.alias("la"), li.alias("lb")
+    e0 = (
+        la.join(
+            lb,
+            (F.col("la.ok") == F.col("lb.ok")) & (F.col("la.pk") < F.col("lb.pk")),
+        )
+        .select(F.col("la.pk").alias("pa"), F.col("lb.pk").alias("pb"))
+        .distinct()
+    )
+    e0 = e0.localCheckpoint()  # 3 consumers per round; cut the pair join
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("pa").alias("v"))
+            .unionAll(e.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+
+    def peel(e: DataFrame, k_col: DataFrame) -> DataFrame:
+        surv = (
+            degrees(e)
+            .crossJoin(F.broadcast(k_col))
+            .filter(F.col("d") >= F.col("k"))
+            .select("v")
+        )
+        return (
+            e.join(surv.select(F.col("v").alias("pa")), "pa", "left_semi")
+            .join(surv.select(F.col("v").alias("pb")), "pb", "left_semi")
+            .localCheckpoint()
+        )
+
+    deg0 = degrees(e0)
+    # k = ceil(2|E| / |V|) in exact integer arithmetic
+    k_col = (
+        deg0.agg(
+            F.sum("d").alias("two_e"), F.count("*").alias("n_v")
+        ).select(
+            F.expr("cast((two_e + n_v - 1) div n_v as int)").alias("k")
+        )
+    )
+    e1 = peel(e0, k_col)
+    e2 = peel(e1, k_col)
+
+    def ledger(rnd: int, e: DataFrame) -> DataFrame:
+        return e.agg(
+            F.lit(rnd).alias("round"),
+            F.count("*").cast("long").alias("edges"),
+        ).crossJoin(
+            F.broadcast(degrees(e).agg(F.count("*").cast("long").alias("nodes")))
+        ).select("round", "nodes", "edges")
+
+    return (
+        ledger(0, e0).unionAll(ledger(1, e1)).unionAll(ledger(2, e2))
+        .orderBy("round")
+    )
+
+
+GRAPH_CORE_PEEL_SQL = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+e0 AS (
+    SELECT DISTINCT a.pk AS pa, b.pk AS pb
+    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg0 AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY v
+),
+kk AS (
+    SELECT CAST((sum(d) + count(*) - 1) // count(*) AS INTEGER) AS k
+    FROM deg0
+),
+s1 AS (SELECT v FROM deg0, kk WHERE d >= k),
+e1 AS (
+    SELECT pa, pb FROM e0
+    WHERE pa IN (SELECT v FROM s1) AND pb IN (SELECT v FROM s1)
+),
+deg1 AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT pa AS v FROM e1 UNION ALL SELECT pb FROM e1) GROUP BY v
+),
+s2 AS (SELECT v FROM deg1, kk WHERE d >= k),
+e2 AS (
+    SELECT pa, pb FROM e1
+    WHERE pa IN (SELECT v FROM s2) AND pb IN (SELECT v FROM s2)
+),
+deg2 AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT pa AS v FROM e2 UNION ALL SELECT pb FROM e2) GROUP BY v
+)
+SELECT 0 AS round, (SELECT count(*) FROM deg0) AS nodes,
+       (SELECT count(*) FROM e0) AS edges
+UNION ALL
+SELECT 1, (SELECT count(*) FROM deg1), (SELECT count(*) FROM e1)
+UNION ALL
+SELECT 2, (SELECT count(*) FROM deg2), (SELECT count(*) FROM e2)
+ORDER BY round
+"""
+
+
 R6H_ENTRIES: dict[str, Entry] = {
     "simjoin_prefix": Entry(simjoin_prefix, SIMJOIN_PREFIX_SQL),
     "graph_triangles": Entry(graph_triangles, GRAPH_TRIANGLES_SQL),
     "basket_lift": Entry(basket_lift, BASKET_LIFT_SQL),
+    "graph_core_peel": Entry(graph_core_peel, GRAPH_CORE_PEEL_SQL),
 }

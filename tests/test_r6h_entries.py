@@ -104,3 +104,49 @@ def test_basket_lift_directional_symmetry(spark):
         if rev is not None:
             assert rev["support_count"] == r["support_count"]
             assert abs(rev["lift"] - r["lift"]) < 1e-9
+
+
+def test_graph_core_peel_matches_python_peel(spark):
+    """The 2-round adaptive peel ledger must match a pure-Python
+    recomputation: k = ceil(avg degree), drop nodes with current
+    degree < k, induce, repeat."""
+    li = (
+        t(spark, SF, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["ok"]].add(r["pk"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+
+    def degs(es):
+        d = defaultdict(int)
+        for a, b in es:
+            d[a] += 1
+            d[b] += 1
+        return d
+
+    d0 = degs(edges)
+    two_e, n_v = sum(d0.values()), len(d0)
+    k = -(-two_e // n_v)  # ceil
+    want = [(0, len(d0), len(edges))]
+    es = edges
+    for rnd in (1, 2):
+        d = degs(es)
+        surv = {v for v, dv in d.items() if dv >= k}
+        es = {(a, b) for a, b in es if a in surv and b in surv}
+        want.append((rnd, len(degs(es)), len(es)))
+    got = [
+        (r["round"], r["nodes"], r["edges"])
+        for r in CATALOG["graph_core_peel"].spark_fn(spark, SF).collect()
+    ]
+    assert got == want
+    ns = [n for _, n, _ in got]
+    assert ns == sorted(ns, reverse=True), "peel must shrink monotonically"
