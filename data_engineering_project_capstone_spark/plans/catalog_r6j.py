@@ -137,10 +137,18 @@ def ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dcg")
         )
     )
-    # R = same-label corpus docs excluding the query itself
+    # R = same-label corpus docs excluding the query itself. LEFT join +
+    # coalesce: a NULL-label query matches nothing (NULL = NULL is not
+    # true) but must still appear with ndcg 0.0 — the DuckDB twin's
+    # correlated count keeps it (count over an empty match set is 0, so
+    # r_tot = −1); an inner join here silently dropped the row
+    # (caught by the degenerate-embeddings sweep).
     r_tot = q_lab.join(
-        F.broadcast(n_lab), F.col("q_label") == F.col("label")
-    ).select("query_id", (F.col("n_label") - 1).alias("r_tot"))
+        F.broadcast(n_lab), F.col("q_label") == F.col("label"), "left"
+    ).select(
+        "query_id",
+        (F.coalesce(F.col("n_label"), F.lit(0)) - 1).alias("r_tot"),
+    )
     idcg = F.aggregate(
         F.sequence(F.lit(1), F.least(F.col("r_tot"), F.lit(_NDCG_K))),
         F.lit(0.0),

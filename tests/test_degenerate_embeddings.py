@@ -38,6 +38,8 @@ ENTRIES = [
     "decontaminate_embedding",
     "semdedup_prune",
     "kmeans_embeddings",
+    "ndcg_label_eval",
+    "rrf_fusion",
 ]
 
 
