@@ -4161,7 +4161,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the FIFTY-THREE round-6 registrations (they exceed a
+# this round — the FIFTY-FOUR round-6 registrations (they exceed a
 # 50-slot window minus canary+backlog, so split across r7 and r8: r7
 # takes the oldest-registered two-thirds plus the four r4 deferrals,
 # r8 takes the rest; every one is both-SF oracle-verified and swept
@@ -4186,7 +4186,8 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # q5_local_volume, q8_market_share, q10_returned_items,
 # q14_promo_revenue, q15_top_supplier from catalog_r6i;
 # rrf_fusion, ndcg_label_eval from catalog_r6j;
-# sample_universe, rfm_segments, revenue_pareto from catalog_r6k; all both-SF
+# sample_universe, rfm_segments, revenue_pareto,
+# quantile_norm_lengths from catalog_r6k; all both-SF
 # oracle-verified locally (er_golden_records rows-only by design))
 # and the four r4-window deferrals below (subquery_scalar_avg,
 # agg_having, set_intersect, window_moving_avg) — keep an events_table

@@ -293,8 +293,95 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. Cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def quantile_norm_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize doc lengths ACROSS sources: each doc's
+    within-source rank fraction q is mapped to the GLOBAL length
+    distribution's value at q — the distribution-matching transform
+    that removes per-source length bias before mixing corpora.
+
+    Scale shape: within-source ranks are source-partitioned windows
+    (source cardinality bounds the parallelism loss, not corpus size);
+    the global distribution is compressed to a 101-point exact
+    interpolated quantile grid (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the established parity pair) broadcast to every
+    row — no corpus-wide single-partition window anywhere. Grid index
+    = floor(q·100 + 0.5) (the ieee_round op sequence, so both engines
+    pick the identical cell). Single-doc sources pin q = 0.5.
+
+    NULL policy: n_chars NULL ranks as 0 (empty doc) — ranking on the
+    raw column would diverge structurally (Spark windows default NULLS
+    FIRST ascending, DuckDB NULLS LAST; caught by the degenerate-docs
+    sweep)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.coalesce("n_chars", F.lit(0)).alias("nc")
+    )
+    grid = docs.agg(
+        F.expr(
+            "percentile(nc, array("
+            + ", ".join(str(i / 100.0) for i in range(101))
+            + "))"
+        ).alias("grid")
+    )
+    w = Window.partitionBy("source").orderBy("nc", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("nc").alias("n_chars"),
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"),
+    )
+    q = F.when(F.col("n_s") > 1, (F.col("r") - 1) / (F.col("n_s") - 1)).otherwise(
+        F.lit(0.5)
+    )
+    idx = F.floor(q * 100 + 0.5).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            ieee_round(F.element_at("grid", idx + 1), 2).alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUANTILE_NORM_SQL = """
+WITH d AS (
+    SELECT doc_id, source, coalesce(n_chars, 0) AS n_chars FROM documents
+),
+grid AS (
+    SELECT quantile_cont(n_chars, [{qs}]) AS g FROM d
+),
+ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS n_s
+    FROM d
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       {norm} AS norm_chars
+FROM ranked, grid
+ORDER BY doc_id
+""".format(
+    qs=", ".join(str(i / 100.0) for i in range(101)),
+    norm=sql_ieee_round(
+        "g[CAST(floor(CASE WHEN n_s > 1 THEN (r - 1) * 1.0 / (n_s - 1) "
+        "ELSE 0.5 END * 100 + 0.5) AS INTEGER) + 1]",
+        2,
+    ),
+)
+
+
 R6K_ENTRIES: dict[str, Entry] = {
     "sample_universe": Entry(sample_universe, SAMPLE_UNIVERSE_SQL),
     "rfm_segments": Entry(rfm_segments, RFM_SEGMENTS_SQL),
     "revenue_pareto": Entry(revenue_pareto, REVENUE_PARETO_SQL),
+    "quantile_norm_lengths": Entry(quantile_norm_lengths, QUANTILE_NORM_SQL),
 }

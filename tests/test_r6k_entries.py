@@ -64,3 +64,41 @@ def test_revenue_pareto_curve_shape(spark):
     # largest single-decile share
     gaps = [shares[0]] + [b - a for a, b in zip(shares, shares[1:])]
     assert gaps[0] == max(gaps)
+
+
+def test_quantile_norm_preserves_ranks_and_matches_python(spark):
+    """Within a source, normalization must be monotone in n_chars, and
+    each doc's normalized value must equal the Python-interpolated
+    global quantile at its within-source rank fraction."""
+    rows = CATALOG["quantile_norm_lengths"].spark_fn(spark, SF).collect()
+    assert rows
+    lens = sorted(
+        (r["n_chars"] or 0)
+        for r in t(spark, SF, "documents").select("n_chars").collect()
+    )
+
+    def global_q(q: float) -> float:
+        # linear interpolation, the percentile/quantile_cont definition
+        pos = q * (len(lens) - 1)
+        lo, hi = int(pos), min(int(pos) + 1, len(lens) - 1)
+        return lens[lo] + (pos - lo) * (lens[hi] - lens[lo])
+
+    from collections import defaultdict as dd
+
+    by_src = dd(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    import math
+
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r["n_chars"], r["doc_id"]))
+        n_s = len(rs)
+        prev = None
+        for i, r in enumerate(rs):
+            q = (i / (n_s - 1)) if n_s > 1 else 0.5
+            idx = math.floor(q * 100 + 0.5)
+            want = round(global_q(idx / 100.0), 2)
+            assert abs(r["norm_chars"] - want) < 1e-6, (src, r)
+            if prev is not None:
+                assert r["norm_chars"] >= prev - 1e-9
+            prev = r["norm_chars"]
