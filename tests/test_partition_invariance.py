@@ -28,6 +28,8 @@ ENTRIES = [
     "simjoin_prefix",
     "graph_triangles",
     "q15_top_supplier",
+    "rfm_segments",
+    "quantile_norm_lengths",
 ]
 
 
