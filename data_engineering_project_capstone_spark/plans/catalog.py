@@ -4161,7 +4161,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the FIFTY-FOUR round-6 registrations (they exceed a
+# this round — the FIFTY-FIVE round-6 registrations (they exceed a
 # 50-slot window minus canary+backlog, so split across r7 and r8: r7
 # takes the oldest-registered two-thirds plus the four r4 deferrals,
 # r8 takes the rest; every one is both-SF oracle-verified and swept
@@ -4180,7 +4180,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # logreg_gd_weights from catalog_r6e; info_gain_terms, event_paths,
 # linreg_by_group, events_json_variant, join_attribution_window,
 # er_golden_records (+check_er_mass twin) from catalog_r6f;
-# user_activity_features, pit_features from catalog_r6g;
+# user_activity_features, pit_features, churn_labels from catalog_r6g;
 # simjoin_prefix, graph_triangles, basket_lift, graph_core_peel
 # from catalog_r6h;
 # q5_local_volume, q8_market_share, q10_returned_items,

@@ -175,9 +175,103 @@ ORDER BY purchase_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 3. Churn label construction
+# ---------------------------------------------------------------------------
+
+_CHURN_CUTOFF_DAYS = 2  # cutoff = corpus max ts − 2d
+_CHURN_OBS_HOURS = 12  # label window: (cutoff, cutoff + 12h]
+# The corpus is a 30-day burst with ~2.2 events/user/day, so churn
+# windows are sized to the data's time scale (a day-scale window is
+# saturated for every user and the label degenerates to all-zero —
+# measured before sizing these).
+
+
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training rows for a churn model: for every user with history
+    BEFORE the cutoff (corpus max ts − 2d), features computed only
+    from that history plus the binary label "no activity in the 12-hour
+    observation window after the cutoff". The temporal-split sibling of
+    ``pit_features``: there leakage-proofing is per-row (exclusive
+    window frames); here it is a single global cutoff — features see
+    only t ≤ cutoff, the label sees only the window after it.
+
+    Scale shape: one conditional aggregation per user over a single
+    scan — feature aggregates gated by ``ts <= cutoff``, the label by
+    the window predicate — so the whole construction is one user-keyed
+    shuffle with map-side combine, no self-join. The cutoff is a 1-row
+    broadcast. Timestamp arithmetic is whole-day INTERVALs on µs
+    timestamps — identical on both engines."""
+    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    ref = ev.agg(
+        (
+            F.max("ts") - F.expr(f"INTERVAL {_CHURN_CUTOFF_DAYS} DAYS")
+        ).alias("cutoff")
+    )
+    obs_end = F.col("cutoff") + F.expr(f"INTERVAL {_CHURN_OBS_HOURS} HOURS")
+    before = F.col("ts") <= F.col("cutoff")
+    in_obs = (F.col("ts") > F.col("cutoff")) & (F.col("ts") <= obs_end)
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(before, 1).otherwise(0)).alias("_n_before"),
+            F.max(F.when(before, F.col("ts"))).alias("_last_before"),
+            F.sum(F.when(in_obs, 1).otherwise(0)).alias("_n_obs"),
+            F.max("cutoff").alias("_cutoff"),
+        )
+        .filter(F.col("_n_before") > 0)
+        .select(
+            "user_id",
+            F.col("_n_before").cast("long").alias("n_events_before"),
+            ieee_round(
+                (
+                    F.unix_micros(F.col("_cutoff"))
+                    - F.unix_micros(F.col("_last_before"))
+                )
+                / F.lit(86_400_000_000.0),
+                4,
+            ).alias("days_inactive_at_cutoff"),
+            F.when(F.col("_n_obs") == 0, 1).otherwise(0).cast("int").alias(
+                "churned"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+CHURN_LABELS_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+ref AS (
+    SELECT max(ts) - INTERVAL {_CHURN_CUTOFF_DAYS} DAY AS cutoff FROM ev
+),
+agg AS (
+    SELECT user_id,
+           sum(CASE WHEN ts <= cutoff THEN 1 ELSE 0 END) AS n_before,
+           max(CASE WHEN ts <= cutoff THEN ts END) AS last_before,
+           sum(CASE WHEN ts > cutoff
+                     AND ts <= cutoff + INTERVAL {_CHURN_OBS_HOURS} HOUR
+                    THEN 1 ELSE 0 END) AS n_obs,
+           max(cutoff) AS cutoff
+    FROM ev, ref
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_before AS BIGINT) AS n_events_before,
+       {sql_ieee_round(
+           "(epoch_us(cutoff) - epoch_us(last_before)) / 86400000000.0", 4
+       )} AS days_inactive_at_cutoff,
+       CAST(CASE WHEN n_obs = 0 THEN 1 ELSE 0 END AS INTEGER) AS churned
+FROM agg
+WHERE n_before > 0
+ORDER BY user_id
+"""
+
+
 R6G_ENTRIES: dict[str, Entry] = {
     "user_activity_features": Entry(
         user_activity_features, USER_ACTIVITY_SQL
     ),
     "pit_features": Entry(pit_features, PIT_FEATURES_SQL),
+    "churn_labels": Entry(churn_labels, CHURN_LABELS_SQL),
 }

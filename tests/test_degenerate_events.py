@@ -51,6 +51,7 @@ ENTRIES = [
     "join_attribution_window",
     "user_activity_features",
     "pit_features",
+    "churn_labels",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)

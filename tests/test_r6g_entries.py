@@ -67,3 +67,41 @@ def test_user_activity_features_sane(spark):
             assert r["mean_gap_minutes"] is None
         else:
             assert r["mean_gap_minutes"] >= 0
+
+
+def test_churn_labels_match_bruteforce(spark):
+    """Label and features recomputed in Python from raw events: features
+    see only t <= cutoff, the label only the 12h window after it; users
+    with no pre-cutoff history are excluded."""
+    import datetime as dt
+
+    rows = [
+        (r["user_id"], r["ts"])
+        for r in events_table(spark, SF)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+        .collect()
+    ]
+    mx = max(ts for _, ts in rows)
+    cutoff = mx - dt.timedelta(days=2)
+    obs_end = cutoff + dt.timedelta(hours=12)
+    want = {}
+    for u in {u for u, _ in rows}:
+        uts = [ts for x, ts in rows if x == u]
+        before = [ts for ts in uts if ts <= cutoff]
+        if not before:
+            continue
+        n_obs = sum(1 for ts in uts if cutoff < ts <= obs_end)
+        days = (cutoff - max(before)).total_seconds() / 86400.0
+        want[u] = (len(before), round(days, 4), int(n_obs == 0))
+    got = {
+        r["user_id"]: (
+            r["n_events_before"],
+            round(r["days_inactive_at_cutoff"], 4),
+            r["churned"],
+        )
+        for r in CATALOG["churn_labels"].spark_fn(spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[2] == 1 for v in want.values()), "label must vary"
+    assert any(v[2] == 0 for v in want.values())
