@@ -52,6 +52,8 @@ ENTRIES = [
     "user_activity_features",
     "pit_features",
     "churn_labels",
+    "ab_test_analysis",
+    "events_seasonality",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
