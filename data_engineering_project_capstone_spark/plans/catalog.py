@@ -4071,6 +4071,10 @@ from .catalog_r6l import R6L_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R6L_ENTRIES)
 
+from .catalog_r6m import R6M_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6M_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4165,7 +4169,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the FIFTY-NINE round-6 registrations (they exceed a
+# this round — the SIXTY-ONE round-6 registrations (they exceed a
 # 50-slot window minus canary+backlog, so split across r7 and r8: r7
 # takes the oldest-registered two-thirds plus the four r4 deferrals,
 # r8 takes the rest; every one is both-SF oracle-verified and swept
@@ -4193,6 +4197,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # sample_universe, rfm_segments, revenue_pareto,
 # quantile_norm_lengths from catalog_r6k; ab_test_analysis,
 # benford_digit_test, events_seasonality, ri_audit from catalog_r6l;
+# events_markov_stationary, funnel_time_to_convert from catalog_r6m;
 # all both-SF
 # oracle-verified locally (er_golden_records rows-only by design))
 # and the four r4-window deferrals below (subquery_scalar_avg,

@@ -54,6 +54,8 @@ ENTRIES = [
     "churn_labels",
     "ab_test_analysis",
     "events_seasonality",
+    "events_markov_stationary",
+    "funnel_time_to_convert",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
