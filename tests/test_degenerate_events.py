@@ -56,6 +56,7 @@ ENTRIES = [
     "events_seasonality",
     "events_markov_stationary",
     "funnel_time_to_convert",
+    "session_bounce_rate",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
