@@ -210,6 +210,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("la.pk").alias("pa"), F.col("lb.pk").alias("pb"))
         .distinct()
     )
+    # e feeds 3 consumers (both union branches of adj + the per-edge
+    # join). ReusedExchange dedupes them on warm plans, but the cold
+    # first run re-derives the pair join per consumer (measured 13.9s
+    # vs 6.1s at sf0.1) — cut the lineage once, as core_peel does.
+    e = e.localCheckpoint()
     adj = (
         e.select(F.col("pa").alias("v"), F.col("pb").alias("nb"))
         .unionAll(e.select(F.col("pb").alias("v"), F.col("pa").alias("nb")))
