@@ -57,6 +57,8 @@ ENTRIES = [
     "events_markov_stationary",
     "funnel_time_to_convert",
     "session_bounce_rate",
+    "funnel_strict_sequence",
+    "skew_profile",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
