@@ -40,6 +40,7 @@ ENTRIES = [
     "kmeans_embeddings",
     "ndcg_label_eval",
     "rrf_fusion",
+    "embedding_norm_outliers",
 ]
 
 
