@@ -59,6 +59,8 @@ ENTRIES = [
     "session_bounce_rate",
     "funnel_strict_sequence",
     "skew_profile",
+    "survival_signup_purchase",
+    "churn_feature_lift",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
