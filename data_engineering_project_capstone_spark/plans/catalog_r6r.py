@@ -36,16 +36,16 @@ def _group_count(col, pattern: str):
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Flesch-style reading ease:
     206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
-    sentences = [.!?]+ run count (min 1), words = token count (min 1),
-    syllables = vowel-group runs (min words, every word has ≥1).
+    sentences = [.!?]+ run count (min 1), words = non-whitespace run
+    count (min 1; the same replace-length trick — no tokenizer-in-HOF,
+    which the plan-hygiene sweep rejects as the documented re-evaluate-
+    per-element hazard), syllables = vowel-group runs (min words).
     Clamps keep empty/degenerate docs finite instead of ANSI-throwing
     on 0/0."""
     docs = t(spark, sf_dir, "documents")
     low = F.lower(F.coalesce(F.col("text"), F.lit("")))
     sentences = F.greatest(_group_count(low, r"[.!?]+"), F.lit(1))
-    words = F.greatest(
-        F.size(F.filter(_toks(), lambda x: x != "")), F.lit(1)
-    )
+    words = F.greatest(_group_count(low, r"\S+"), F.lit(1))
     syllables = F.greatest(_group_count(low, r"[aeiouy]+"), words)
     score = (
         F.lit(206.835)
@@ -68,18 +68,23 @@ def _sql_groups(col: str, pattern: str) -> str:
     )
 
 
+_SQL_WORD_GROUPS = _sql_groups("low", r"\S+")
+
+
 TEXT_READABILITY_SQL = f"""
 WITH base AS (
-    SELECT doc_id,
-           lower(coalesce(text, '')) AS low,
-           greatest(len(list_filter({_SQL_TOKS}, x -> x <> '')), 1) AS words
-    FROM documents
+    SELECT doc_id, lower(coalesce(text, '')) AS low FROM documents
+),
+worded AS (
+    SELECT doc_id, low,
+           greatest({_SQL_WORD_GROUPS}, 1) AS words
+    FROM base
 ),
 counted AS (
     SELECT doc_id, words,
            greatest({_sql_groups("low", "[.!?]+")}, 1) AS sentences,
            greatest({_sql_groups("low", "[aeiouy]+")}, words) AS syllables
-    FROM base
+    FROM worded
 )
 SELECT doc_id,
        CAST(words AS BIGINT) AS n_words,
