@@ -4095,6 +4095,10 @@ from .catalog_r6r import R6R_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R6R_ENTRIES)
 
+from .catalog_r6s import R6S_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R6S_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4189,7 +4193,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 #     and window_ntile_pctrank stay).
 #
 # R7 ROTATION NOTE: lead with the entries that have no driver row after
-# this round — the SEVENTY-TWO round-6 registrations (they exceed a
+# this round — the SEVENTY-FOUR round-6 registrations (they exceed a
 # 50-slot window minus canary+backlog, so split across r7 and r8: r7
 # takes the oldest-registered two-thirds plus the four r4 deferrals,
 # r8 takes the rest; every one is both-SF oracle-verified and swept
@@ -4223,6 +4227,7 @@ assert len(_DRIVER_WINDOW_R5) == 50, len(_DRIVER_WINDOW_R5)
 # langid_confusion, embedding_norm_outliers from catalog_r6p;
 # survival_signup_purchase, churn_feature_lift from catalog_r6q;
 # text_readability, zipf_fit from catalog_r6r;
+# orders_gini, welch_ttest from catalog_r6s;
 # all both-SF
 # oracle-verified locally (er_golden_records rows-only by design))
 # and the four r4-window deferrals below (subquery_scalar_avg,
