@@ -4290,11 +4290,103 @@ _DRIVER_WINDOW_R6 = [
     "window_lag_lead",
 ]
 assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
+
+# Round-7 driver window (the driver evaluates queries()[:50] in
+# registration order).
+#
+# Composition, per the R7 ROTATION NOTE above and the round-6 verdict:
+# (a) events_session_window — the shared-helper canary (green r5 AND r6
+#     rows, so an events_table normalization regression is attributable
+#     to the helper, not to the 18 first-time events consumers below).
+# (b) the four r4-window deferrals (their r4 rows are now the oldest in
+#     the ledger and they were explicitly held out of the r6 window).
+# (c) 45 of the 74 round-6 registrations that have never had a driver
+#     row, ordered per the round-6 verdict: the bench-timed heavies
+#     first (they carry the perf watch items), then the five TPC-H
+#     classics, then the r6m-r6s analytics batches, then the oldest-
+#     registered remainder (catalog_r6 -> r6c).
+#
+# R8 ROTATION NOTE: after this round the only entries with no driver
+# row are the 29 round-6 registrations that did not fit here:
+# sample_weighted,
+# agg_correlation, chi_square_independence, table_fingerprints from
+# catalog_r6d; kmeans_embeddings, nb_source_classifier,
+# logreg_gd_weights from catalog_r6e; info_gain_terms, event_paths,
+# linreg_by_group, events_json_variant, join_attribution_window,
+# er_golden_records, check_er_mass from catalog_r6f;
+# user_activity_features, pit_features, churn_labels from catalog_r6g;
+# basket_lift, graph_core_peel from catalog_r6h; rrf_fusion,
+# ndcg_label_eval from catalog_r6j; sample_universe, rfm_segments,
+# revenue_pareto, quantile_norm_lengths from catalog_r6k;
+# ab_test_analysis, benford_digit_test, events_seasonality, ri_audit
+# from catalog_r6l — lead the r8 window with all 29, keep an
+# events_table canary with a prior green row, and fill the remaining
+# ~20 slots with any round-7 registrations followed by the oldest
+# ledger records (the r5 window).
+_DRIVER_WINDOW_R7 = [
+    # (a) shared-helper canary (events_table; green r5 + r6 rows)
+    "events_session_window",
+    # (b) r4-window deferrals — oldest ledger records
+    "subquery_scalar_avg",
+    "agg_having",
+    "set_intersect",
+    "window_moving_avg",
+    # (c1) bench-timed heavies (perf watch items ride with them)
+    "simjoin_prefix",
+    "graph_triangles",
+    "skew_salted_join",
+    "pagerank_event_graph",
+    "sketch_cms_topk",
+    "semdedup_prune",
+    "dsir_importance",
+    "exact_substr_spans",
+    "kl_source_drift",
+    "boilerplate_windows",
+    # (c2) TPC-H classics (catalog_r6i)
+    "q5_local_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    # (c3) r6m-r6s analytics batches
+    "events_markov_stationary",
+    "funnel_time_to_convert",
+    "orders_cohort_ltv",
+    "abc_classification",
+    "session_bounce_rate",
+    "funnel_strict_sequence",
+    "skew_profile",
+    "langid_confusion",
+    "embedding_norm_outliers",
+    "survival_signup_purchase",
+    "churn_feature_lift",
+    "text_readability",
+    "zipf_fit",
+    "orders_gini",
+    "welch_ttest",
+    # (c4) oldest-registered remainder (catalog_r6 -> r6c)
+    "curation_pipeline",
+    "bpe_merge_pairs",
+    "decontaminate_embedding",
+    "shard_balance",
+    "perplexity_score",
+    "dedup_soft_weights",
+    "sketch_hll_union",
+    "events_funnel",
+    "events_retention_cohorts",
+    "join_range_buckets",
+    "events_transition_matrix",
+    "events_anomaly_zscore",
+    "events_time_decay",
+    "agg_robust_mad",
+    "rolling_distinct_users",
+]
+assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R6,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R6)),
+        *_DRIVER_WINDOW_R7,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R7)),
     )
 }
 
