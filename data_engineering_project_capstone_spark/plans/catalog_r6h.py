@@ -178,24 +178,11 @@ ORDER BY id_a, id_b
 _TRI_TOP_K = 20
 
 
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K parts by triangle participation in the co-order graph,
-    with degree and local clustering coefficient 2T/(d(d−1)).
-
-    Scale shape: per-EDGE sorted-adjacency intersection instead of a
-    wedge self-join. The wedge count Σd² is the irreducible work of
-    triangle counting, but a wedge JOIN materializes it as Σd² shuffled
-    ROWS (~112M at sf0.1 here); intersecting each edge's two sorted
-    neighbor arrays does the same comparisons inside whole-stage
-    codegen and shuffles only |E| rows (arrays replicate a node's list
-    deg(v) times, so shuffled BYTES are the same Σd² ints — in ~40×
-    fewer rows, and per-row shuffle overhead is what dominates;
-    measured 10.6s → ~3s at sf0.1). Per-node credit needs no corner
-    explode: every triangle has exactly two edges incident to each of
-    its corners, so tri(v) = Σ_{e∋v} t_e / 2 — one groupBy over the
-    doubled edge list. The co-order pair generator itself fans out per
-    order on basket size squared (≤ ~21 for TPC-H orders), not data
-    volume."""
+def _triangle_oriented_adj(spark: SparkSession, sf_dir: str):
+    """(e, deg, dir_e, adj) for the co-order part graph — the
+    degree-oriented skeleton shared by graph_triangles and the
+    bounded-out-degree test, so the test exercises the REAL collected
+    arrays, not a model of them."""
     li = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -210,38 +197,97 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("la.pk").alias("pa"), F.col("lb.pk").alias("pb"))
         .distinct()
     )
-    # e feeds 3 consumers (both union branches of adj + the per-edge
-    # join). ReusedExchange dedupes them on warm plans, but the cold
-    # first run re-derives the pair join per consumer (measured 13.9s
-    # vs 6.1s at sf0.1) — cut the lineage once, as core_peel does.
+    # e feeds 3 consumers (degree agg + the orientation join).
+    # ReusedExchange dedupes them on warm plans, but the cold first run
+    # re-derives the pair join per consumer (measured 13.9s vs 6.1s at
+    # sf0.1) — cut the lineage once, as core_peel does.
     e = e.localCheckpoint()
-    adj = (
-        e.select(F.col("pa").alias("v"), F.col("pb").alias("nb"))
-        .unionAll(e.select(F.col("pb").alias("v"), F.col("pa").alias("nb")))
+    deg = (
+        e.select(F.col("pa").alias("v"))
+        .unionAll(e.select(F.col("pb").alias("v")))
         .groupBy("v")
-        .agg(F.sort_array(F.collect_list("nb")).alias("nbs"))
-        .select("v", "nbs", F.size("nbs").alias("d"))
+        .agg(F.count("*").alias("d"))
     )
-    aa = adj.select(F.col("v").alias("pa"), F.col("nbs").alias("nbsa"))
-    ab = adj.select(F.col("v").alias("pb"), F.col("nbs").alias("nbsb"))
-    per_edge = (
-        e.join(aa, "pa")
-        .join(ab, "pb")
+    dega = deg.select(F.col("v").alias("pa"), F.col("d").alias("da"))
+    degb = deg.select(F.col("v").alias("pb"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    dir_e = (
+        e.join(dega, "pa")
+        .join(degb, "pb")
         .select(
-            "pa",
-            "pb",
-            F.size(F.array_intersect("nbsa", "nbsb")).alias("t_e"),
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         )
     )
+    # dir_e feeds adj plus both sides of the per-edge join — same
+    # 3-consumer shape as e; one more lineage cut.
+    dir_e = dir_e.localCheckpoint()
+    adj = (
+        dir_e.groupBy(F.col("src").alias("v"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("outs"))
+    )
+    return e, deg, dir_e, adj
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K parts by triangle participation in the co-order graph,
+    with degree and local clustering coefficient 2T/(d(d−1)).
+
+    Scale shape: DEGREE-ORIENTED per-edge intersection. Each undirected
+    edge is oriented toward the higher (degree, id) endpoint, so a
+    node's collected out-list holds only neighbors of ≥ its own rank —
+    out-degree is bounded by O(√(2E)) regardless of the real degree
+    distribution (a node with k out-neighbors implies k nodes of
+    degree ≥ k, hence E ≥ k²/2). The unoriented form collected FULL
+    neighbor lists, making a degree-d hub a single d-element array row
+    — a memory bomb for any celebrity node at 100 TB. Each triangle
+    {a<b<c} (rank order) is discovered exactly once, at its lowest
+    edge (a→b) with c ∈ out(a)∩out(b); total intersection work drops
+    from Σd² wedges to the arboricity-bounded Σ min-rank-degree. Corner
+    credit: src and dst of the discovering edge each gain t_e, and each
+    witness c gains 1 via an explode whose total row count is exactly
+    the triangle count (not the wedge count). The co-order pair
+    generator itself fans out per order on basket size squared
+    (≤ ~21 for TPC-H orders), not data volume.
+
+    Measured at sf0.1 (local[32], warm, 3 reps): 6.4s shuffle-join
+    form (this code) vs 3.7s with F.broadcast(deg)+F.broadcast(adj).
+    The broadcast form is rejected as the default: adj totals O(E)
+    bytes (every directed edge appears in exactly one out-list), so it
+    only broadcasts while the whole edge list fits on one executor —
+    the opposite of the 100 TB posture. AQE's runtime shuffle→broadcast
+    conversion picks up the win automatically on clusters where the
+    adjacency side lands under the threshold; sf0.1's ~15 MB is just
+    over the 10 MB default, which is the correct call to leave alone."""
+    e, deg, dir_e, adj = _triangle_oriented_adj(spark, sf_dir)
+    sa = adj.select(F.col("v").alias("src"), F.col("outs").alias("outs_s"))
+    sb = adj.select(F.col("v").alias("dst"), F.col("outs").alias("outs_d"))
+    # inner joins are lossless for counting: a dst with no out-edges
+    # has an empty out-list, so its intersections are empty anyway.
+    per_edge = (
+        dir_e.join(sa, "src")
+        .join(sb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.array_intersect("outs_s", "outs_d").alias("wit"),
+        )
+        .select("src", "dst", "wit", F.size("wit").alias("t_e"))
+        .filter(F.col("t_e") > 0)
+    )
     per_node = (
-        per_edge.select(F.col("pa").alias("v"), "t_e")
-        .unionAll(per_edge.select(F.col("pb").alias("v"), "t_e"))
+        per_edge.select(F.col("src").alias("v"), F.col("t_e").alias("c"))
+        .unionAll(per_edge.select(F.col("dst").alias("v"), F.col("t_e").alias("c")))
+        .unionAll(
+            per_edge.select(F.explode("wit").alias("v"), F.lit(1).alias("c"))
+        )
         .groupBy("v")
-        .agg((F.sum("t_e") / 2).cast("long").alias("tri"))
-        .filter(F.col("tri") > 0)
+        .agg(F.sum("c").cast("long").alias("tri"))
     )
     return (
-        per_node.join(adj.select("v", "d"), "v")
+        per_node.join(deg, "v")
         .select(
             F.col("v").alias("part_key"),
             F.col("d").cast("long").alias("degree"),

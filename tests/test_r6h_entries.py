@@ -90,6 +90,30 @@ def test_graph_triangles_match_adjacency_bruteforce(spark):
     assert all(tri[v] <= floor for v in outside)
 
 
+def test_graph_triangles_out_degree_is_orientation_bounded(spark):
+    """The degree orientation must bound every COLLECTED out-list at
+    O(√(2E)): a node with k out-neighbors implies k nodes of degree
+    ≥ k, hence E ≥ k²/2. Drives the real `_triangle_oriented_adj`
+    arrays (not a model of them), so any regression to full neighbor
+    lists — the hub-node memory bomb the orientation removes — fails
+    here: at sf0.001 the hub's full degree comfortably exceeds the
+    bound."""
+    import math
+
+    from data_engineering_project_capstone_spark.plans.catalog_r6h import (
+        _triangle_oriented_adj,
+    )
+
+    e, deg, _dir_e, adj = _triangle_oriented_adj(spark, SF)
+    n_edges = e.count()
+    bound = math.isqrt(2 * n_edges) + 1
+    max_out = adj.select(F.max(F.size("outs"))).first()[0]
+    assert max_out <= bound, (max_out, bound)
+    # the bound must be a REAL constraint here, not vacuous: the hub's
+    # full degree exceeds it
+    assert deg.select(F.max("d")).first()[0] > bound
+
+
 def test_basket_lift_directional_symmetry(spark):
     """support_count and lift are symmetric in (a, b); confidence is
     the directional column. Both directions of every surviving pair
