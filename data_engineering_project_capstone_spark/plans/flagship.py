@@ -30,7 +30,7 @@ from ..functions.scalar import pct_of
 # query in SQL (README.md:169-214).
 FLAGSHIP_SQL: dict[str, str] = {
     "q1": """
-        SELECT c.c_name, s.s_median_age, a.avg_age
+        SELECT c.c_name, c.c_state_code, s.s_median_age, a.avg_age
         FROM (
             SELECT ap.a_city_id, round(avg(t.p_age), 2) AS avg_age
             FROM travelers t JOIN airports ap ON t.p_airport_id = ap.a_id
@@ -41,7 +41,7 @@ FLAGSHIP_SQL: dict[str, str] = {
         ORDER BY s.s_median_age DESC
     """,
     "q2": """
-        SELECT c.c_name, cnt.cnt, s.s_per_foreign_born
+        SELECT c.c_name, c.c_state_code, cnt.cnt, s.s_per_foreign_born
         FROM (
             SELECT ap.a_city_id, count(*) AS cnt
             FROM travelers t JOIN airports ap ON t.p_airport_id = ap.a_id
@@ -52,7 +52,7 @@ FLAGSHIP_SQL: dict[str, str] = {
         ORDER BY s.s_per_foreign_born DESC
     """,
     "q3": """
-        SELECT c.c_name, tp.t_avg_temp, cnt.cnt,
+        SELECT c.c_name, c.c_state_code, tp.t_average_temp_month, cnt.cnt,
                round(100 * cnt.cnt / tot.total, 2) AS pct_of_total
         FROM (
             SELECT ap.a_city_id, count(*) AS cnt
@@ -71,7 +71,8 @@ FLAGSHIP_SQL: dict[str, str] = {
 def flagship_q1(star: dict[str, DataFrame]) -> DataFrame:
     """Avg traveler age per city vs city median age (README.md:172-179).
 
-    Output: c_name, s_median_age, avg_age — ordered by median age desc.
+    Output: c_name, c_state_code, s_median_age, avg_age — ordered by
+    median age desc (reference selects c_state_code, README.md:173).
     """
     travelers, airports = star["travelers"], star["airports"]
     city, stats = star["city"], star["statistics"]
@@ -85,7 +86,7 @@ def flagship_q1(star: dict[str, DataFrame]) -> DataFrame:
     return (
         avg_age.join(F.broadcast(city), avg_age["a_city_id"] == city["c_id"])
         .join(F.broadcast(stats), F.col("s_city_id") == F.col("c_id"))
-        .select("c_name", "s_median_age", "avg_age")
+        .select("c_name", "c_state_code", "s_median_age", "avg_age")
         .orderBy(F.col("s_median_age").desc())
     )
 
@@ -93,7 +94,8 @@ def flagship_q1(star: dict[str, DataFrame]) -> DataFrame:
 def flagship_q2(star: dict[str, DataFrame]) -> DataFrame:
     """Traveler count per city vs foreign-born share (README.md:185-194).
 
-    Output: c_name, cnt, s_per_foreign_born — ordered by foreign-born desc.
+    Output: c_name, c_state_code, cnt, s_per_foreign_born — ordered by
+    foreign-born desc (reference selects c_state_code, README.md:186).
     """
     travelers, airports = star["travelers"], star["airports"]
     city, stats = star["city"], star["statistics"]
@@ -102,12 +104,12 @@ def flagship_q2(star: dict[str, DataFrame]) -> DataFrame:
             F.broadcast(airports), travelers["p_airport_id"] == airports["a_id"]
         )
         .join(F.broadcast(city), F.col("a_city_id") == F.col("c_id"))
-        .groupBy("c_id", "c_name")
+        .groupBy("c_id", "c_name", "c_state_code")
         .agg(F.count("*").alias("cnt"))
     )
     return (
         cnt.join(F.broadcast(stats), F.col("s_city_id") == F.col("c_id"))
-        .select("c_name", "cnt", "s_per_foreign_born")
+        .select("c_name", "c_state_code", "cnt", "s_per_foreign_born")
         .orderBy(F.col("s_per_foreign_born").desc())
     )
 
@@ -116,9 +118,11 @@ def flagship_q3(star: dict[str, DataFrame], year: int = 2013, month: int = 4) ->
     """Traveler share per city vs that city's April-2013 temperature
     (README.md:200-214).
 
-    Output: c_name, t_avg_temp, cnt, pct_of_total — ordered by pct desc.
-    The grand total is a 1-row cross join (J10), exactly the reference's
-    scalar-subquery shape.
+    Output: c_name, c_state_code, t_average_temp_month, cnt,
+    pct_of_total — ordered by pct desc. t_average_temp_month is the
+    monthly climatology column the denormalized temperatures dim exists
+    to serve (reference README.md:204). The grand total is a 1-row
+    cross join (J10), exactly the reference's scalar-subquery shape.
     """
     travelers, airports = star["travelers"], star["airports"]
     city, temps = star["city"], star["temperatures"]
@@ -127,7 +131,7 @@ def flagship_q3(star: dict[str, DataFrame], year: int = 2013, month: int = 4) ->
             F.broadcast(airports), travelers["p_airport_id"] == airports["a_id"]
         )
         .join(F.broadcast(city), F.col("a_city_id") == F.col("c_id"))
-        .groupBy("c_id", "c_name")
+        .groupBy("c_id", "c_name", "c_state_code")
         .agg(F.count("*").alias("cnt"))
     )
     t = temps.filter((F.col("t_year") == year) & (F.col("t_month") == month))
@@ -137,7 +141,8 @@ def flagship_q3(star: dict[str, DataFrame], year: int = 2013, month: int = 4) ->
         .crossJoin(F.broadcast(total))
         .select(
             "c_name",
-            "t_avg_temp",
+            "c_state_code",
+            "t_average_temp_month",
             "cnt",
             pct_of("cnt", "total").alias("pct_of_total"),
         )

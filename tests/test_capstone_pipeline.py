@@ -116,7 +116,9 @@ def test_travelers_dropped_unknown_port(spark, staging, star):
 
 def test_flagship_queries(spark, star):
     q1 = flagship_q1(star).collect()
-    assert q1 and {"c_name", "s_median_age", "avg_age"} == set(q1[0].asDict())
+    assert q1 and {"c_name", "c_state_code", "s_median_age", "avg_age"} == set(
+        q1[0].asDict()
+    )
     ages = [r["s_median_age"] for r in q1]
     assert ages == sorted(ages, reverse=True)
 

@@ -38,9 +38,9 @@ def star_views(spark):
 @pytest.mark.parametrize(
     "q,df_fn,cols",
     [
-        ("q1", flagship_q1, ("c_name", "avg_age")),
-        ("q2", flagship_q2, ("c_name", "cnt")),
-        ("q3", flagship_q3, ("c_name", "pct_of_total")),
+        ("q1", flagship_q1, ("c_name", "c_state_code", "avg_age")),
+        ("q2", flagship_q2, ("c_name", "c_state_code", "cnt")),
+        ("q3", flagship_q3, ("c_name", "c_state_code", "t_average_temp_month", "pct_of_total")),
     ],
 )
 def test_sql_form_matches_df_form(spark, star_views, q, df_fn, cols):
