@@ -4099,6 +4099,10 @@ from .catalog_r6s import R6S_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R6S_ENTRIES)
 
+from .catalog_r7 import R7_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R7_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4319,10 +4323,12 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # ndcg_label_eval from catalog_r6j; sample_universe, rfm_segments,
 # revenue_pareto, quantile_norm_lengths from catalog_r6k;
 # ab_test_analysis, benford_digit_test, events_seasonality, ri_audit
-# from catalog_r6l — lead the r8 window with all 29, keep an
-# events_table canary with a prior green row, and fill the remaining
-# ~20 slots with any round-7 registrations followed by the oldest
-# ledger records (the r5 window).
+# from catalog_r6l — plus the round-7 registrations (ks_two_sample,
+# mann_whitney_u, spearman_corr, cohens_kappa, calibration_curve,
+# pareto_skyline, orders_acf, cusum_drift from catalog_r7, and any
+# later r7 batches). Lead the r8 window with all of these (29 + r7),
+# keep an events_table canary with a prior green row, and fill any
+# remaining slots with the oldest ledger records (the r5 window).
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)
     "events_session_window",

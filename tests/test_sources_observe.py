@@ -50,7 +50,9 @@ def test_read_sas_connector_gated(spark, tmp_path):
     path where the jar is absent (round-6 audit: no sas7bdat/saurfang jar
     anywhere in the image, no ivy cache, no network to fetch one — the
     convert-once ingest_sas route in test_sas_ingest.py is the tested
-    production path)."""
+    production path; re-audited round 7: `find / -name '*saurfang*' -o
+    -name '*spark-sas*'` still empty, `import PIL` still absent, skip
+    stays pinned)."""
     from data_engineering_project_capstone_spark.sources.readers import read_sas
 
     with pytest.raises(NotImplementedError, match="sas7bdat connector"):
