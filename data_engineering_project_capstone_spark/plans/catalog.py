@@ -4103,6 +4103,10 @@ from .catalog_r7 import R7_ENTRIES  # noqa: E402  (same deferred-import reason)
 
 CATALOG.update(R7_ENTRIES)
 
+from .catalog_r7b import R7B_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R7B_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
