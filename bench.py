@@ -62,6 +62,10 @@ HEADLINE = [
     # r6h additions: the two heaviest of the similarity/graph batch
     "simjoin_prefix",         # prefix-filtered exact similarity join
     "graph_triangles",        # per-edge adjacency-intersect triangles
+    # r7 additions: the heaviest of the rank-statistics + TPC-H batches
+    "mann_whitney_u",         # value-domain rank window over spend
+    "q21_sole_late_supplier", # li join + double agg decorrelated EXISTS
+    "q18_large_orders",       # fact groupBy-HAVING + survivor joins
 ]
 
 
