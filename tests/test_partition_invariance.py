@@ -30,6 +30,14 @@ ENTRIES = [
     "q15_top_supplier",
     "rfm_segments",
     "quantile_norm_lengths",
+    # r7: rank statistics + two-phase quantiles — argmax/ntile/rank
+    # positions are exactly where a partition-order dependence would bite
+    "ks_two_sample",
+    "mann_whitney_u",
+    "calibration_curve",
+    "two_phase_quantiles",
+    "weighted_median",
+    "q21_sole_late_supplier",
 ]
 
 
