@@ -4111,6 +4111,10 @@ from .catalog_r7c import R7C_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R7C_ENTRIES)
 
+from .catalog_r7d import R7D_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R7D_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
