@@ -4335,12 +4335,19 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # ndcg_label_eval from catalog_r6j; sample_universe, rfm_segments,
 # revenue_pareto, quantile_norm_lengths from catalog_r6k;
 # ab_test_analysis, benford_digit_test, events_seasonality, ri_audit
-# from catalog_r6l — plus the round-7 registrations (ks_two_sample,
-# mann_whitney_u, spearman_corr, cohens_kappa, calibration_curve,
-# pareto_skyline, orders_acf, cusum_drift from catalog_r7, and any
-# later r7 batches). Lead the r8 window with all of these (29 + r7),
-# keep an events_table canary with a prior green row, and fill any
-# remaining slots with the oldest ledger records (the r5 window).
+# from catalog_r6l — plus the 25 round-7 registrations (catalog_r7:
+# ks_two_sample, mann_whitney_u, spearman_corr, cohens_kappa,
+# calibration_curve, pareto_skyline, orders_acf, cusum_drift;
+# catalog_r7b: q3_unshipped_topk, q4_late_exists, q6_forecast_delta,
+# q7_nation_volume, q9_profit_proxy, q13_order_histogram,
+# q17_small_qty_revenue, q18_large_orders, q19_disjunctive_join,
+# q21_sole_late_supplier, q22_dormant_customers; catalog_r7c:
+# two_phase_quantiles, weighted_median, price_histogram; catalog_r7d:
+# events_burst_hours, customer_active_streaks, priority_mix_shift).
+# That is 54 candidates for 50 slots: lead with the 29 r6 stragglers
+# (oldest debt first), then the r7 batches in registration order,
+# keep one events_table canary with a prior green row, and queue the
+# overflow (~5, take from the end of r7d + r7c) for r9 with a note.
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)
     "events_session_window",

@@ -41,6 +41,12 @@ WEIGHTS = {
     "test_csv_roundtrip.py": 8,
     "test_r6f_entries.py": 8,
     "test_pipeline_driver.py": 7,
+    "test_r6h_entries.py": 35,
+    "test_r7_entries.py": 25,
+    "test_r7b_entries.py": 26,
+    "test_r7c_entries.py": 20,
+    "test_r7d_entries.py": 19,
+    "test_partition_invariance.py": 55,
 }
 
 
