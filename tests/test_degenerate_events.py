@@ -61,6 +61,8 @@ ENTRIES = [
     "skew_profile",
     "survival_signup_purchase",
     "churn_feature_lift",
+    # r7d events consumer
+    "events_burst_hours",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)

@@ -44,6 +44,8 @@ ENTRIES = [
     "event_paths",
     "join_attribution_window",
     "pit_features",
+    # r7d events consumer
+    "events_burst_hours",
 ]
 
 
