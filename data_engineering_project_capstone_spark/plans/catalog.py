@@ -4115,6 +4115,10 @@ from .catalog_r7d import R7D_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R7D_ENTRIES)
 
+from .catalog_r7e import R7E_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R7E_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.

@@ -61,8 +61,9 @@ ENTRIES = [
     "skew_profile",
     "survival_signup_purchase",
     "churn_feature_lift",
-    # r7d events consumer
+    # r7d/r7e events consumers
     "events_burst_hours",
+    "conversion_wilson_ci",
 ]
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)

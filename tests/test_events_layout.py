@@ -44,8 +44,9 @@ ENTRIES = [
     "event_paths",
     "join_attribution_window",
     "pit_features",
-    # r7d events consumer
+    # r7d/r7e events consumers
     "events_burst_hours",
+    "conversion_wilson_ci",
 ]
 
 
