@@ -13,11 +13,11 @@ Design for a 100 TB media pipeline (north-star extension):
   third-party libraries: PNG (IHDR), GIF87a/89a, BMP (BITMAPINFOHEADER),
   JPEG (marker-segment walk to SOF), and WAV (stdlib ``wave`` — a genuine
   decode, not just header sniffing). The MM01 fixture format remains for
-  deterministic tests. Pixel/sample DECOMPRESSION for the compressed
-  formats (PNG idat inflate, JPEG entropy decode) is out of scope without
-  PIL/libav — swap ``decode_payload`` for PIL/ffmpeg bindings behind the
-  identical ``bytes -> (width, height, n_frames)`` contract when the
-  image libraries are present.
+  deterministic tests. PNG payloads additionally get FULL pixel
+  decompression (``png_pixels``/``pixel_stats``: stdlib zlib inflate +
+  numpy defilter of all five PNG filter types, palette expansion) — no
+  PIL required; JPEG entropy decode remains the genuine PIL/libjpeg
+  boundary, gated behind the same loud ``bytes -> pixels`` contract.
 """
 
 from __future__ import annotations
@@ -203,6 +203,232 @@ def decode_payload(payload: bytes) -> tuple[int, int, int]:
 _decode_stub = decode_payload
 
 
+# ---------------------------------------------------------------------------
+# PNG PIXEL decoding — stdlib zlib + numpy, no PIL required.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        yield ctype, payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+
+
+def png_pixels(payload: bytes):
+    """Full PNG pixel decode with ONLY stdlib zlib + numpy: chunk walk,
+    IDAT inflate, per-scanline defilter (None/Sub/Up/Average/Paeth),
+    palette expansion. Returns a (height, width, channels) uint8 array.
+
+    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced
+    (Adam7 raises — the restriction is documented, not silent). Sub is
+    defiltered with the uint8-overflow cumsum identity (wraparound IS
+    mod-256, so the sequential recurrence vectorizes); Average/Paeth
+    keep the spec's left-dependent scan loop.
+
+    This replaces the round-6 claim that pixel decompression needs
+    PIL — for PNG it does not; JPEG entropy decode remains the genuine
+    PIL/libjpeg boundary."""
+    import zlib
+
+    import numpy as np
+
+    if bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    ihdr = palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(bytes(payload)):
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("corrupt PNG: missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 here)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"corrupt PNG: color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG: wrong decompressed size")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 1:  # Sub: rec[i] = line[i] + rec[i-ch]
+            rec = line.copy().reshape(-1, ch)
+            np.cumsum(rec, axis=0, dtype=np.uint8, out=rec)  # wrap = mod 256
+            rec = rec.reshape(-1)
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f == 3:  # Average (left-dependent: spec scan loop)
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(rec[i - ch]) if i >= ch else 0
+                rec[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (left-dependent)
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(out[y - 1, i - ch]) if (i >= ch and y > 0) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: filter {f}")
+        out[y] = rec
+        prev = out[y]
+    px = out.reshape(h, w, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        px = palette[px.reshape(h, w)]
+    return px
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """Minimal PNG writer (test fixture twin of png_pixels): bit depth
+    8, color type from the channel count, optional per-line filter
+    codes (default all-0) so every defilter branch is exercisable."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = [0] * h if filters is None else list(filters)
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int16)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            enc = np.empty(stride, dtype=np.int16)
+            prev_row = prev
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev_row[i])
+                c = int(prev_row[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = int(cur[i]) - pred
+        else:
+            raise ValueError(f"filter {f}")
+        lines.append(f)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("min_pixel", T.IntegerType()),
+        T.StructField("max_pixel", T.IntegerType()),
+        T.StructField("pixel_crc32", T.LongType()),
+    ]
+)
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """Per-image PIXEL statistics for PNG payloads (mapInPandas,
+    Arrow-batched): exact mean (integer pixel sum ÷ count), min/max,
+    and a crc32 of the raw reconstructed pixels (the determinism
+    handle — any defilter bug changes it). Non-PNG payloads raise, the
+    same loud-failure contract as decode_payload; filter upstream with
+    kind == 'image' + the PNG magic."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = png_pixels(payload)
+                h, w, c = px.shape
+                total = int(px.sum(dtype="int64"))
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        c,
+                        total / (h * w * c),
+                        int(px.min()),
+                        int(px.max()),
+                        zlib.crc32(px.tobytes()) & 0xFFFFFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_pixel",
+                    "min_pixel",
+                    "max_pixel",
+                    "pixel_crc32",
+                ],
+            )
+
+    return df.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode dimensions/frame counts from media payloads (mapInPandas).
 
@@ -287,6 +513,30 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
         F.floor(F.col("width") * scale).cast("int").alias("target_width"),
         F.floor(F.col("height") * scale).cast("int").alias("target_height"),
     )
+
+
+def png_fixture(spark: SparkSession, n: int = 24, seed: int = 31) -> DataFrame:
+    """Deterministic REAL-PNG fixture: n images cycling through every
+    supported channel count (1/2/3/4) and PNG filter type (0-4), pixels
+    from a seeded numpy Generator — so the full zlib+defilter path runs
+    under the same MEDIA_SCHEMA contract as the MM01 fixture."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        ch = (1, 2, 3, 4)[i % 4]
+        h, w = int(rng.integers(3, 12)), int(rng.integers(3, 12))
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(encode_png(px, filters=[(i + y) % 5 for y in range(h)])),
+                {"codec": "png", "filters": "cycled"},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def media_fixture(spark: SparkSession, n: int = 64, seed: int = 23) -> DataFrame:

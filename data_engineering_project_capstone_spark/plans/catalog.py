@@ -2530,6 +2530,52 @@ SELECT CAST(64 AS BIGINT) AS n_media,
 """
 
 
+def check_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of the FULL PNG pixel decode (round-7:
+    stdlib zlib inflate + numpy defilter, operators/multimodal.py
+    png_pixels): over the 24-image real-PNG fixture, (a) every image
+    yields sane stats (min ≤ mean ≤ max, crc present), and (b) the
+    pixel decoder's dimensions AGREE with the independent IHDR header
+    walk (two disjoint code paths — a defilter/stride bug breaks the
+    join). Fixture size is code-defined → constant oracle."""
+    from ..operators.multimodal import decode_media, pixel_stats, png_fixture
+
+    _ensure_session_conf(spark)
+    media = png_fixture(spark)
+    stats = pixel_stats(media)
+    dec = decode_media(media).select(
+        F.col("media_id").alias("mid"),
+        F.col("width").alias("hw"),
+        F.col("height").alias("hh"),
+    )
+    bad_stats = stats.filter(
+        (F.col("min_pixel") > F.col("max_pixel"))
+        | (F.col("mean_pixel") < F.col("min_pixel"))
+        | (F.col("mean_pixel") > F.col("max_pixel"))
+        | F.col("pixel_crc32").isNull()
+        | (F.col("channels") < 1)
+        | (F.col("channels") > 4)
+    )
+    mismatch = stats.join(
+        dec,
+        (F.col("media_id") == F.col("mid"))
+        & ((F.col("width") != F.col("hw")) | (F.col("height") != F.col("hh"))),
+        "left_semi",
+    )
+    return (
+        _scalar(stats, F.count("*"), "n_png")
+        .crossJoin(_scalar(bad_stats, F.count("*"), "n_bad_stats"))
+        .crossJoin(_scalar(mismatch, F.count("*"), "n_header_pixel_mismatch"))
+    )
+
+
+CHECK_PNG_PIXELS_SQL = """
+SELECT CAST(24 AS BIGINT) AS n_png,
+       CAST(0 AS BIGINT) AS n_bad_stats,
+       CAST(0 AS BIGINT) AS n_header_pixel_mismatch
+"""
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality gate (the cheap perplexity proxy):
     Shannon entropy of the per-doc character distribution — gibberish and
@@ -3933,6 +3979,7 @@ CATALOG.update(
         ),
         "posexplode_tokens": Entry(posexplode_tokens, POSEXPLODE_TOKENS_SQL),
         "check_multimodal": Entry(check_multimodal, CHECK_MULTIMODAL_SQL),
+        "check_png_pixels": Entry(check_png_pixels, CHECK_PNG_PIXELS_SQL),
         "text_char_entropy": Entry(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     }
 )
@@ -4347,11 +4394,14 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # q17_small_qty_revenue, q18_large_orders, q19_disjunctive_join,
 # q21_sole_late_supplier, q22_dormant_customers; catalog_r7c:
 # two_phase_quantiles, weighted_median, price_histogram; catalog_r7d:
-# events_burst_hours, customer_active_streaks, priority_mix_shift).
-# That is 54 candidates for 50 slots: lead with the 29 r6 stragglers
-# (oldest debt first), then the r7 batches in registration order,
-# keep one events_table canary with a prior green row, and queue the
-# overflow (~5, take from the end of r7d + r7c) for r9 with a note.
+# events_burst_hours, customer_active_streaks, priority_mix_shift;
+# catalog_r7e: forecast_mase, conversion_wilson_ci, hierarchy_share;
+# plus check_png_pixels, the full-pixel-decode invariant registered in
+# this file). That is 58 candidates for 50 slots: lead with the 29 r6
+# stragglers (oldest debt first), then the r7 batches in registration
+# order, keep one events_table canary with a prior green row, and
+# queue the overflow (~9, take from the end of r7e + r7d + r7c) for
+# r9 with a note.
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)
     "events_session_window",
