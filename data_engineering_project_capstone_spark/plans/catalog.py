@@ -4166,6 +4166,10 @@ from .catalog_r7e import R7E_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R7E_ENTRIES)
 
+from .catalog_r7g import R7G_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R7G_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4396,11 +4400,12 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # two_phase_quantiles, weighted_median, price_histogram; catalog_r7d:
 # events_burst_hours, customer_active_streaks, priority_mix_shift;
 # catalog_r7e: forecast_mase, conversion_wilson_ci, hierarchy_share;
+# catalog_r7g: roc_auc_eval, ewma_control, bloom_prefilter_join;
 # plus check_png_pixels, the full-pixel-decode invariant registered in
-# this file). That is 58 candidates for 50 slots: lead with the 29 r6
+# this file). That is 61 candidates for 50 slots: lead with the 29 r6
 # stragglers (oldest debt first), then the r7 batches in registration
 # order, keep one events_table canary with a prior green row, and
-# queue the overflow (~9, take from the end of r7e + r7d + r7c) for
+# queue the overflow (~12, take from the end of r7g + r7e + r7d) for
 # r9 with a note.
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)

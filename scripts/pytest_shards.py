@@ -46,7 +46,9 @@ WEIGHTS = {
     "test_r7b_entries.py": 26,
     "test_r7c_entries.py": 20,
     "test_r7d_entries.py": 19,
-    "test_partition_invariance.py": 55,
+    "test_r7g_entries.py": 19,
+    "test_png_pixels.py": 12,
+    "test_partition_invariance.py": 60,
 }
 
 

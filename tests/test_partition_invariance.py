@@ -38,6 +38,10 @@ ENTRIES = [
     "two_phase_quantiles",
     "weighted_median",
     "q21_sole_late_supplier",
+    # r7f: cumulative sweep over the score histogram + lag over the day
+    # series — both windows where partition-order dependence would bite
+    "roc_auc_eval",
+    "ewma_control",
 ]
 
 
