@@ -47,6 +47,7 @@ WEIGHTS = {
     "test_r7c_entries.py": 20,
     "test_r7d_entries.py": 19,
     "test_r7g_entries.py": 19,
+    "test_r7h_entries.py": 19,
     "test_png_pixels.py": 12,
     "test_partition_invariance.py": 60,
 }

@@ -42,6 +42,10 @@ ENTRIES = [
     # series — both windows where partition-order dependence would bite
     "roc_auc_eval",
     "ewma_control",
+    # r7h: 3×3 cell-probe blocking and B-fold Poisson explode — the pair
+    # emission and per-resample sums must not depend on layout
+    "geo_grid_join",
+    "bootstrap_ci_mean",
 ]
 
 
