@@ -1,0 +1,304 @@
+"""Round-7i catalog entries — density clustering and kNN graphs on the
+grid-blocked integer geometry introduced by ``catalog_r7h``:
+
+- ``dbscan_customers``: full DBSCAN (eps=25, minPts=4) over the
+  content-addressed customer coordinates. Every stage is the
+  distributed form: neighbor degrees from the radius-sized-cell 3×3
+  probe (provably lossless for eps ≤ cell size), core flags, an edge
+  list between core points, and connected components by K=10 unrolled
+  min-label propagation rounds — the SAME unrolled rounds in the
+  DuckDB oracle (the engine precedent for iterative algorithms:
+  fixed-iteration Spark loop ↔ unrolled CTE SQL). Border points attach
+  to the MIN core-neighbor label (the deterministic resolution of
+  DBSCAN's classic border ambiguity). All counts are exact integers.
+  The Python twin computes TRUE fixpoint components with union-find,
+  so if 10 rounds ever under-converge at test scale the twin fails —
+  the bounded-round contract is verified, not assumed.
+- ``knn_graph_radius``: bounded-radius k-nearest-neighbor graph
+  (k=3, within eps=25) — the kNN-graph construction step of graph
+  clustering / SemDeDup-style pipelines, here with the grid probe as
+  the candidate generator. Exact for all neighbors within eps
+  (documented bound: farther true neighbors are out of contract by
+  construction). Ranking ties break on (d2, neighbor key) — total
+  order, partition-invariant. The ledger reports the neighbor-count
+  histogram and the exact BIGINT sum of 1-NN squared distances.
+
+Scale: one shuffle on the cell key for candidates; components iterate
+on the (small) core-edge list only; at 100 TB the iteration cost is
+edges×rounds, never points×rounds — and the probe guarantees in-cell
+work is density-bounded, not corpus-quadratic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import Entry, t
+from .catalog_r7h import _GRID, _RADIUS, _coords
+
+_EPS2 = _RADIUS * _RADIUS
+_MIN_PTS = 4  # incl. the point itself
+_CC_ROUNDS = 10
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, y = _coords(F.col("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"), x.alias("x"), y.alias("y"))
+        .withColumn("cx", (F.col("x") / _RADIUS).cast("long"))
+        .withColumn("cy", (F.col("y") / _RADIUS).cast("long"))
+    )
+
+
+def _directed_pairs(pts: DataFrame) -> DataFrame:
+    """All DIRECTED in-radius pairs (a≠b) via the 3×3 probe."""
+    probe = (
+        pts.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("k").alias("ka"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    return (
+        probe.join(
+            pts.select(
+                F.col("k").alias("kb"),
+                F.col("x").alias("xb"),
+                F.col("y").alias("yb"),
+                "cx",
+                "cy",
+            ),
+            ["cx", "cy"],
+        )
+        .filter(F.col("ka") != F.col("kb"))
+        .withColumn("d2", d2.cast("long"))
+        .filter(F.col("d2") <= _EPS2)
+        .select("ka", "kb", "d2")
+    )
+
+
+def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DBSCAN ledger: point/core/border/noise counts, number of
+    clusters, and the largest cluster's size (core + attached border).
+    See module docstring for the algorithm and determinism contract."""
+    pts = _points(spark, sf_dir).localCheckpoint()
+    pairs = _directed_pairs(pts).localCheckpoint()  # degree + edges + border
+    deg = pairs.groupBy("ka").agg((F.count("*") + 1).alias("deg"))
+    core = (
+        pts.join(deg, pts.k == deg.ka, "left_outer")
+        .select("k", F.coalesce(F.col("deg"), F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= _MIN_PTS)
+        .select("k")
+    )
+    core = core.localCheckpoint()
+    core_a = core.select(F.col("k").alias("ka"))
+    core_b = core.select(F.col("k").alias("kb"))
+    edges = pairs.join(core_a, "ka").join(core_b, "kb").select("ka", "kb")
+    edges = edges.localCheckpoint()  # consumed every CC round
+    # min-label propagation, K unrolled rounds (label 0 = own key)
+    lab = core.select("k", F.col("k").alias("lab"))
+    for _ in range(_CC_ROUNDS):
+        nbr_min = (
+            edges.join(lab.select(F.col("k").alias("kb"), "lab"), "kb")
+            .groupBy("ka")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        lab = (
+            lab.join(nbr_min, lab.k == nbr_min.ka, "left_outer")
+            .select(
+                "k",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+        ).localCheckpoint()
+    # border: non-core with a core in-radius neighbor -> min core label
+    border = (
+        pairs.join(core.select(F.col("k").alias("kb")), "kb")
+        .join(core.select(F.col("k").alias("ka")), "ka", "left_anti")
+        .join(lab.select(F.col("k").alias("kb"), "lab"), "kb")
+        .groupBy("ka")
+        .agg(F.min("lab").alias("lab"))
+    )
+    members = lab.select("k", "lab").union(
+        border.select(F.col("ka").alias("k"), "lab")
+    )
+    sizes = members.groupBy("lab").agg(F.count("*").alias("sz"))
+    return (
+        pts.agg(F.count("*").alias("n_points"))
+        .crossJoin(core.agg(F.count("*").alias("n_core")))
+        .crossJoin(border.agg(F.count("*").alias("n_border")))
+        .crossJoin(
+            sizes.agg(
+                F.count("*").alias("n_clusters"),
+                F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster"),
+            )
+        )
+        .select(
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("n_core").cast("long").alias("n_core"),
+            F.col("n_border").cast("long").alias("n_border"),
+            (F.col("n_points") - F.col("n_core") - F.col("n_border"))
+            .cast("long")
+            .alias("n_noise"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("max_cluster").cast("long").alias("max_cluster_size"),
+        )
+    )
+
+
+def _dbscan_sql() -> str:
+    """Oracle with the identical K unrolled min-label rounds."""
+    rounds = []
+    prev = "lab0"
+    for i in range(1, _CC_ROUNDS + 1):
+        rounds.append(
+            f"""lab{i} AS MATERIALIZED (
+    SELECT l.k,
+           least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+    FROM {prev} l
+    LEFT JOIN edges e ON e.ka = l.k
+    LEFT JOIN {prev} n ON n.k = e.kb
+    GROUP BY l.k, l.lab
+)"""
+        )
+        prev = f"lab{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pts AS MATERIALIZED (
+    SELECT c_custkey AS k,
+           CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
+                1, 15)) AS BIGINT) % {_GRID} AS x,
+           CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
+                16, 15)) AS BIGINT) % {_GRID} AS y
+    FROM customer
+),
+pairs AS MATERIALIZED (
+    SELECT a.k AS ka, b.k AS kb,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM pts a JOIN pts b
+      ON a.k <> b.k
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_EPS2}
+),
+core AS MATERIALIZED (
+    SELECT ka AS k FROM pairs GROUP BY ka HAVING count(*) + 1 >= {_MIN_PTS}
+),
+edges AS MATERIALIZED (
+    SELECT p.ka, p.kb FROM pairs p
+    WHERE p.ka IN (SELECT k FROM core) AND p.kb IN (SELECT k FROM core)
+),
+lab0 AS MATERIALIZED (SELECT k, k AS lab FROM core),
+{rounds_sql},
+border AS (
+    SELECT p.ka, min(l.lab) AS lab
+    FROM pairs p
+    JOIN {prev} l ON l.k = p.kb
+    WHERE p.ka NOT IN (SELECT k FROM core)
+    GROUP BY p.ka
+),
+members AS (
+    SELECT k, lab FROM {prev}
+    UNION ALL
+    SELECT ka AS k, lab FROM border
+),
+sizes AS (SELECT lab, count(*) AS sz FROM members GROUP BY lab)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+       (SELECT CAST(count(*) AS BIGINT) FROM core) AS n_core,
+       (SELECT CAST(count(*) AS BIGINT) FROM border) AS n_border,
+       (SELECT CAST(count(*) AS BIGINT) FROM pts)
+         - (SELECT count(*) FROM core)
+         - (SELECT count(*) FROM border) AS n_noise,
+       (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_clusters,
+       (SELECT CAST(coalesce(max(sz), 0) AS BIGINT) FROM sizes)
+           AS max_cluster_size
+"""
+
+
+DBSCAN_CUSTOMERS_SQL = _dbscan_sql()
+
+_KNN_K = 3
+
+
+def knn_graph_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius kNN ledger: how many of the k=3 slots each point
+    fills within eps (histogram rows: neighbors_found, n_points) plus
+    the exact sum of 1-NN squared distances folded into every row (the
+    determinism handle). Ties rank by (d2, kb) — a total order."""
+    pts = _points(spark, sf_dir).localCheckpoint()
+    pairs = _directed_pairs(pts)
+    w = Window.partitionBy("ka").orderBy("d2", "kb")
+    top = pairs.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _KNN_K
+    )
+    top = top.localCheckpoint()  # histogram + 1-NN sum consumers
+    found = top.groupBy("ka").agg(F.count("*").alias("nf"))
+    hist = (
+        pts.join(found, pts.k == found.ka, "left_outer")
+        .select(F.coalesce(F.col("nf"), F.lit(0)).alias("neighbors_found"))
+        .groupBy("neighbors_found")
+        .agg(F.count("*").alias("n_points"))
+    )
+    nn1 = top.filter(F.col("r") == 1).agg(
+        F.coalesce(F.sum("d2"), F.lit(0)).cast("long").alias("s")
+    )
+    return (
+        hist.crossJoin(F.broadcast(nn1))
+        .select(
+            F.col("neighbors_found").cast("long").alias("neighbors_found"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("s").alias("sum_nn1_d2"),
+        )
+        .orderBy("neighbors_found")
+    )
+
+
+KNN_GRAPH_RADIUS_SQL = f"""
+WITH pts AS MATERIALIZED (
+    SELECT c_custkey AS k,
+           CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
+                1, 15)) AS BIGINT) % {_GRID} AS x,
+           CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
+                16, 15)) AS BIGINT) % {_GRID} AS y
+    FROM customer
+),
+pairs AS MATERIALIZED (
+    SELECT a.k AS ka, b.k AS kb,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM pts a JOIN pts b
+      ON a.k <> b.k
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_EPS2}
+),
+top AS (
+    SELECT ka, kb, d2,
+           row_number() OVER (PARTITION BY ka ORDER BY d2, kb) AS r
+    FROM pairs
+),
+kept AS (SELECT * FROM top WHERE r <= {_KNN_K}),
+found AS (SELECT ka, count(*) AS nf FROM kept GROUP BY ka),
+hist AS (
+    SELECT coalesce(f.nf, 0) AS neighbors_found, count(*) AS n_points
+    FROM pts p LEFT JOIN found f ON p.k = f.ka
+    GROUP BY 1
+),
+nn1 AS (
+    SELECT CAST(coalesce(sum(d2), 0) AS BIGINT) AS s FROM kept WHERE r = 1
+)
+SELECT CAST(neighbors_found AS BIGINT) AS neighbors_found,
+       CAST(n_points AS BIGINT) AS n_points,
+       s AS sum_nn1_d2
+FROM hist CROSS JOIN nn1
+ORDER BY neighbors_found
+"""
+
+
+R7I_ENTRIES: dict[str, Entry] = {
+    "dbscan_customers": Entry(dbscan_customers, DBSCAN_CUSTOMERS_SQL),
+    "knn_graph_radius": Entry(knn_graph_radius, KNN_GRAPH_RADIUS_SQL),
+}

@@ -46,6 +46,9 @@ ENTRIES = [
     # emission and per-resample sums must not depend on layout
     "geo_grid_join",
     "bootstrap_ci_mean",
+    # r7i: iterative min-label propagation and per-point top-k ranking
+    "dbscan_customers",
+    "knn_graph_radius",
 ]
 
 
