@@ -66,6 +66,12 @@ HEADLINE = [
     "mann_whitney_u",         # value-domain rank window over spend
     "q21_sole_late_supplier", # li join + double agg decorrelated EXISTS
     "q18_large_orders",       # fact groupBy-HAVING + survivor joins
+    # r7h/r7i additions: the spatial family's two heavies. dbscan's
+    # ~5-6s at sf0.1 is 10 fixed label-propagation rounds of scheduler
+    # round-trips on tiny shuffles (stage-latency-bound, like pagerank);
+    # on a real cluster the same rounds amortize over real data.
+    "dbscan_customers",       # grid DBSCAN + bounded min-label CC
+    "knn_graph_radius",       # bounded-radius kNN graph + top-k window
 ]
 
 
