@@ -49,6 +49,9 @@ ENTRIES = [
     # r7i: iterative min-label propagation and per-point top-k ranking
     "dbscan_customers",
     "knn_graph_radius",
+    # r7j: per-group nearest-rank quantile + hash-fold sums
+    "target_encode_oof",
+    "conformal_interval",
 ]
 
 
