@@ -4182,6 +4182,10 @@ from .catalog_r7j import R7J_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R7J_ENTRIES)
 
+from .catalog_r7k import R7K_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R7K_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4416,11 +4420,12 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # catalog_r7h: geo_grid_join, bootstrap_ci_mean, psi_price_drift;
 # catalog_r7i: dbscan_customers, knn_graph_radius;
 # catalog_r7j: target_encode_oof, conformal_interval;
+# catalog_r7k: lateral_topk, trimmed_mean_price;
 # plus check_png_pixels, the full-pixel-decode invariant registered in
-# this file). That is 68 candidates for 50 slots: lead with the 29 r6
+# this file). That is 70 candidates for 50 slots: lead with the 29 r6
 # stragglers (oldest debt first), then the r7 batches in registration
 # order, keep one events_table canary with a prior green row, and
-# queue the overflow (~19, take from the end of r7j + r7i + r7h) for
+# queue the overflow (~21, take from the end of r7k + r7j + r7i) for
 # r9 with a note.
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)

@@ -52,6 +52,9 @@ ENTRIES = [
     # r7j: per-group nearest-rank quantile + hash-fold sums
     "target_encode_oof",
     "conformal_interval",
+    # r7k: decorrelated lateral top-1 and trim-boundary ranking
+    "lateral_topk",
+    "trimmed_mean_price",
 ]
 
 

@@ -364,3 +364,27 @@ def test_tpch_classics_plan_shapes(spark):
     compact = f.replace(" ", "")
     assert "EqualTo(l_returnflag,R)" in compact
     assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in compact
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """r7k: the correlated LATERAL (ORDER BY + LIMIT 1) must NOT execute
+    per-row — Catalyst decorrelates it into partial+final
+    WindowGroupLimit (per-partition top-1 pushdown BEFORE the shuffle)
+    feeding one hash join. A NestedLoop/CartesianProduct or a rank
+    window without the group-limit pushdown would be the wrong plan."""
+    plan = plan_of(spark, "lateral_topk")
+    assert "WindowGroupLimit" in plan, "lateral must decorrelate to top-k"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_trimmed_mean_window_partitioned_by_group(spark):
+    """r7k: the trim ranking must partition by nation — a global
+    (unpartitioned) Sort of the fact would be the 100 TB killer."""
+    plan = plan_of(spark, "trimmed_mean_price")
+    import re
+
+    for m in re.finditer(r"Window .*windowspecdefinition\(([^)]*)", plan):
+        assert "c_nationkey" in m.group(1) or "g#" in m.group(1), (
+            f"unpartitioned window in trimmed_mean plan: {m.group(0)[:120]}"
+        )
