@@ -36,6 +36,7 @@ def asof_join(
     right_cols: Sequence[str] = (),
     prefix: str = "asof_",
     tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right row at-or-before
     its timestamp (per key). Right payload columns come back as
@@ -43,13 +44,20 @@ def asof_join(
 
     ``tiebreak``: optional right-side column that orders right rows sharing
     a timestamp (the greatest wins — deterministic).
+
+    ``tolerance_seconds``: pandas-merge_asof-style bound — a match older
+    than this is nulled out AFTER the carry-forward fill (the struct
+    carries the right timestamp, so the window itself is unchanged: one
+    shuffle, same plan, a post-filter instead of a range join).
     """
     on = list(on)
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
 
-    r_struct = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
+    r_struct = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
+    ).alias("_r")
     rt = right.select(
         *on,
         F.col(right_ts).alias("_ats"),
@@ -87,6 +95,14 @@ def asof_join(
     filled = combined.withColumn(
         "_r_filled", F.last(F.col("_r"), ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.unix_micros(F.col("_ats"))
+            - F.unix_micros(F.col("_r_filled").getField("_rts"))
+        ) <= tolerance_seconds * 1_000_000
+        filled = filled.withColumn(
+            "_r_filled", F.when(in_tol, F.col("_r_filled"))
+        )
     return (
         filled.filter(F.col("_is_left") == 1)
         .select(

@@ -4186,6 +4186,10 @@ from .catalog_r7k import R7K_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R7K_ENTRIES)
 
+from .catalog_r7l import R7L_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R7L_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4421,11 +4425,12 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # catalog_r7i: dbscan_customers, knn_graph_radius;
 # catalog_r7j: target_encode_oof, conformal_interval;
 # catalog_r7k: lateral_topk, trimmed_mean_price;
+# catalog_r7l: join_asof_tolerance, recursive_reachability;
 # plus check_png_pixels, the full-pixel-decode invariant registered in
-# this file). That is 70 candidates for 50 slots: lead with the 29 r6
+# this file). That is 72 candidates for 50 slots: lead with the 29 r6
 # stragglers (oldest debt first), then the r7 batches in registration
 # order, keep one events_table canary with a prior green row, and
-# queue the overflow (~21, take from the end of r7k + r7j + r7i) for
+# queue the overflow (~23, take from the end of r7l + r7k + r7j) for
 # r9 with a note.
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)

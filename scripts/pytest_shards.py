@@ -52,6 +52,7 @@ WEIGHTS = {
     "test_r7i_entries.py": 23,
     "test_r7j_entries.py": 34,
     "test_r7k_entries.py": 17,
+    "test_r7l_entries.py": 17,
     "test_png_pixels.py": 12,
     "test_partition_invariance.py": 60,
 }

@@ -36,6 +36,7 @@ ENTRIES = [
     "events_multires_rollup",
     "gapfill_resample",
     "join_asof_events",
+    "join_asof_tolerance",
     "events_funnel",
     "events_retention_cohorts",
     # r6c-e events consumers

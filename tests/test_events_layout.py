@@ -32,6 +32,7 @@ ENTRIES = [
     "events_session_window",
     "gapfill_resample",
     "join_asof_events",
+    "join_asof_tolerance",
     "events_gap_stats",
     "events_multires_rollup",
     # r6c-f events consumers (all go through the same events_table

@@ -55,6 +55,9 @@ ENTRIES = [
     # r7k: decorrelated lateral top-1 and trim-boundary ranking
     "lateral_topk",
     "trimmed_mean_price",
+    # r7l: carry-forward fill + tolerance post-filter, recursive frontier
+    "join_asof_tolerance",
+    "recursive_reachability",
 ]
 
 

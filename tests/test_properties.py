@@ -247,3 +247,48 @@ def test_md5_bucket_matches_duckdb_and_cms_dominates(spark, items):
     truth = Counter(items)
     for item, n in truth.items():
         assert est[item] >= n, (item, est[item], n)
+
+
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=2_000), min_size=1, max_size=25),
+    right_ts=st.lists(st.integers(min_value=0, max_value=2_000), min_size=1, max_size=25),
+    tol=st.integers(min_value=0, max_value=500),
+)
+@settings(**SETTINGS)
+def test_asof_join_tolerance_matches_merge_asof(spark, left_ts, right_ts, tol):
+    """asof_join(tolerance_seconds=...) must agree with
+    pandas.merge_asof(tolerance=...) — matches older than the bound
+    are nulled, not substituted with an older row."""
+    from data_engineering_project_capstone_spark.operators.asof import asof_join
+
+    right_ts = sorted(set(right_ts))
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, 1, base + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(left_ts))
+    ]
+    rrows = [
+        (100 + j, 1, base + dt.timedelta(seconds=s), float(s))
+        for j, s in enumerate(right_ts)
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "ts", "payload"])
+    got = (
+        asof_join(
+            left, right, on=["k"], right_cols=["rid", "payload"],
+            tolerance_seconds=tol,
+        )
+        .orderBy("lid")
+        .collect()
+    )
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts", "payload"]).sort_values("ts")
+    expect = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="backward",
+        tolerance=pd.Timedelta(seconds=tol),
+    ).sort_values("lid")
+    for g, (_, e) in zip(got, expect.iterrows()):
+        assert g["lid"] == e["lid"]
+        if pd.isna(e["rid"]):
+            assert g["asof_rid"] is None, (g, e)
+        else:
+            assert g["asof_rid"] == e["rid"], (g, e)
