@@ -13,11 +13,14 @@ Design for a 100 TB media pipeline (north-star extension):
   third-party libraries: PNG (IHDR), GIF87a/89a, BMP (BITMAPINFOHEADER),
   JPEG (marker-segment walk to SOF), and WAV (stdlib ``wave`` — a genuine
   decode, not just header sniffing). The MM01 fixture format remains for
-  deterministic tests. PNG payloads additionally get FULL pixel
-  decompression (``png_pixels``/``pixel_stats``: stdlib zlib inflate +
-  numpy defilter of all five PNG filter types, palette expansion) — no
-  PIL required; JPEG entropy decode remains the genuine PIL/libjpeg
-  boundary, gated behind the same loud ``bytes -> pixels`` contract.
+  deterministic tests. PNG, BMP, and GIF payloads additionally get
+  FULL pixel decompression (``decode_pixels``/``pixel_stats``): PNG
+  via stdlib zlib inflate + numpy defilter of all five filter types
+  with palette expansion; BMP as 24-bit BI_RGB with stride padding;
+  GIF through a REAL LZW codec (variable-width LSB-first codes,
+  KwKwK, 4096-entry cap, CLEAR handling) — no PIL required anywhere;
+  JPEG entropy decode remains the genuine PIL/libjpeg boundary, gated
+  behind the same loud ``bytes -> pixels`` contract.
 """
 
 from __future__ import annotations
@@ -370,6 +373,272 @@ def encode_png(pixels, filters=None) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# BMP PIXEL decoding — 24-bit BI_RGB, the uncompressed container.
+# ---------------------------------------------------------------------------
+
+
+def bmp_pixels(payload: bytes):
+    """Full BMP pixel decode (24-bit uncompressed BI_RGB): BGR rows,
+    4-byte row padding, bottom-up unless height is negative. Returns a
+    (height, width, 3) uint8 RGB array. Other bit depths/compressions
+    raise loudly (same contract as png_pixels)."""
+    import numpy as np
+
+    if bytes(payload[:2]) != b"BM":
+        raise ValueError("not a BMP")
+    data_off = _struct.unpack("<I", payload[10:14])[0]
+    w, h = _struct.unpack("<ii", payload[18:26])
+    bpp = _struct.unpack("<H", payload[28:30])[0]
+    comp = _struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24:
+        raise NotImplementedError(f"BMP bit depth {bpp} (only 24 here)")
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} (only BI_RGB)")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    raw = np.frombuffer(
+        bytes(payload[data_off : data_off + h * stride]), dtype=np.uint8
+    )
+    if raw.size != h * stride:
+        raise ValueError("corrupt BMP: truncated pixel data")
+    rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit BMP writer (fixture twin of bmp_pixels)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("BMP fixture writer is 24-bit RGB only")
+    stride = (3 * w + 3) & ~3
+    body = bytearray()
+    bgr = px[:, :, ::-1]
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bgr[y].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    header = b"BM" + _struct.pack(
+        "<IHHI", 54 + len(body), 0, 0, 54
+    ) + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytes(header + body)
+
+
+# ---------------------------------------------------------------------------
+# GIF PIXEL decoding — real LZW decompression, stdlib-only.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(mcs: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW: variable code width (mcs+1 .. 12, LSB-first bit
+    packing), CLEAR resets the table, END terminates. Returns the index
+    stream."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    big = int.from_bytes(bytes(data), "little")
+    total_bits = len(data) * 8
+    width = mcs + 1
+    table: dict[int, list[int]] = {}
+    next_code = end + 1
+    prev: list[int] | None = None
+    out: list[int] = []
+    pos = 0
+    while pos + width <= total_bits:
+        code = (big >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"corrupt GIF: LZW code {code} out of range")
+        out.append(0)  # placeholder keeps list ops near; replaced below
+        out.pop()
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise ValueError("corrupt GIF: LZW stream ended without END code")
+
+
+def _lzw_encode(indexes: list[int], mcs: int, clear_every: bool) -> bytes:
+    """GIF-flavor LZW compressor. ``clear_every=True`` emits CLEAR
+    before every literal (the spec-legal degenerate stream — exercises
+    the decoder's reset path); False builds the table normally
+    (exercises growth + width bumps)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out_codes: list[tuple[int, int]] = []  # (code, width-at-emit)
+    width = mcs + 1
+    if clear_every:
+        for p in indexes:
+            out_codes.append((clear, width))
+            out_codes.append((p, width))
+        out_codes.append((end, width))
+    else:
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        out_codes.append((clear, width))
+        run: tuple[int, ...] = ()
+        for p in indexes:
+            cand = run + (p,)
+            if cand in table:
+                run = cand
+                continue
+            out_codes.append((table[run], width))
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                # the decoder's table lags the encoder's by ONE add (it
+                # adds nothing for the first code after CLEAR), so the
+                # encoder must bump the width one entry AFTER its own
+                # table crosses 2^w — the classic GIF off-by-one
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            run = (p,)
+        if run:
+            out_codes.append((table[run], width))
+        out_codes.append((end, width))
+    big = 0
+    pos = 0
+    for code, w_ in out_codes:
+        big |= code << pos
+        pos += w_
+    return big.to_bytes((pos + 7) // 8, "little")
+
+
+def gif_pixels(payload: bytes):
+    """Full GIF pixel decode for the FIRST frame: header walk, color
+    table, real LZW decompression, palette expansion. Returns a
+    (height, width, 3) uint8 array. Interlaced frames raise (documented
+    restriction, like Adam7 in png_pixels)."""
+    import numpy as np
+
+    if bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            bytes(payload[pos : pos + 3 * n]), dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            w, h = _struct.unpack("<HH", payload[pos + 5 : pos + 9])
+            flags = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if flags & 0x80:
+                n = 2 << (flags & 0x07)
+                pal = np.frombuffer(
+                    bytes(payload[pos : pos + 3 * n]), dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if flags & 0x40:
+                raise NotImplementedError("interlaced GIF frame")
+            if pal is None:
+                raise ValueError("corrupt GIF: no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(mcs, bytes(data))
+            if len(idx) < w * h:
+                raise ValueError("corrupt GIF: not enough pixel indexes")
+            arr = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if arr.max(initial=0) >= len(pal):
+                raise ValueError("corrupt GIF: index outside color table")
+            return pal[arr]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
+    raise ValueError("corrupt GIF: no image descriptor")
+
+
+def encode_gif(pixels, clear_every: bool = False) -> bytes:
+    """Minimal single-frame GIF writer (fixture twin of gif_pixels):
+    builds a palette from the image's unique colors (≤256 required),
+    real LZW compression (or the spec-legal clear-every-code stream)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("GIF fixture writer is RGB only")
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF fixture writer: more than 256 unique colors")
+    size_exp = max(1, int(len(colors) - 1).bit_length() - 1 + 1)
+    n_entries = 2 << (size_exp - 1)
+    while n_entries < len(colors):
+        size_exp += 1
+        n_entries = 2 << (size_exp - 1)
+    pal = np.zeros((n_entries, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, size_exp)
+    body = _lzw_encode([int(i) for i in inverse], mcs, clear_every)
+    out = bytearray()
+    out += b"GIF89a"
+    out += _struct.pack("<HH", w, h)
+    out += bytes([0x80 | (size_exp - 1), 0, 0])  # GCT flag + size
+    out += pal.tobytes()
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([mcs])
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_pixels(payload: bytes):
+    """Dispatch on container magic → (h, w, c) uint8 pixel array.
+    Full pixel decompression with zero third-party deps for PNG (zlib
+    inflate + defilter), BMP (24-bit BI_RGB), and GIF (real LZW). JPEG
+    entropy decode remains the genuine PIL/libjpeg boundary."""
+    head = bytes(payload[:8])
+    if head == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(payload)
+    if head[:2] == b"BM":
+        return bmp_pixels(payload)
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixels(payload)
+    raise NotImplementedError(
+        "pixel decode here covers PNG/BMP/GIF; JPEG entropy decode needs "
+        "PIL/libjpeg behind this same bytes -> pixels contract"
+    )
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -385,19 +654,19 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def pixel_stats(df: DataFrame) -> DataFrame:
-    """Per-image PIXEL statistics for PNG payloads (mapInPandas,
-    Arrow-batched): exact mean (integer pixel sum ÷ count), min/max,
-    and a crc32 of the raw reconstructed pixels (the determinism
-    handle — any defilter bug changes it). Non-PNG payloads raise, the
-    same loud-failure contract as decode_payload; filter upstream with
-    kind == 'image' + the PNG magic."""
+    """Per-image PIXEL statistics for PNG/BMP/GIF payloads
+    (mapInPandas, Arrow-batched): exact mean (integer pixel sum ÷
+    count), min/max, and a crc32 of the raw reconstructed pixels (the
+    determinism handle — any defilter/LZW/stride bug changes it).
+    Other payloads raise, the same loud-failure contract as
+    decode_payload; filter upstream with kind == 'image' + magic."""
     import zlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = png_pixels(payload)
+                px = decode_pixels(payload)
                 h, w, c = px.shape
                 total = int(px.sum(dtype="int64"))
                 rows.append(
@@ -536,6 +805,34 @@ def png_fixture(spark: SparkSession, n: int = 24, seed: int = 31) -> DataFrame:
                 {"codec": "png", "filters": "cycled"},
             )
         )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def parity_fixture(spark: SparkSession, n: int = 12, seed: int = 47) -> DataFrame:
+    """Cross-container parity fixture: n RGB images, each encoded as
+    PNG (cycled filters), BMP, and GIF (alternating real-LZW and
+    clear-every-code streams) — 3n rows sharing media_id per image, so
+    pixel crc32 equality across containers is checkable by a groupBy.
+    Colors are drawn from a small palette (GIF ≤256-color bound)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = int(rng.integers(3, 14)), int(rng.integers(3, 14))
+        pal = np.unique(
+            rng.integers(0, 256, size=(20, 3), dtype=np.uint8), axis=0
+        )
+        px = pal[rng.integers(0, len(pal), size=(h, w))]
+        payloads = {
+            "png": encode_png(px, filters=[(i + y) % 5 for y in range(h)]),
+            "bmp": encode_bmp(px),
+            "gif": encode_gif(px, clear_every=bool(i % 2)),
+        }
+        for codec, payload in payloads.items():
+            rows.append(
+                (i, "image", bytearray(payload), {"codec": codec})
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -2576,6 +2576,39 @@ SELECT CAST(24 AS BIGINT) AS n_png,
 """
 
 
+def check_pixel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of the CROSS-CONTAINER pixel decode
+    (round-7: PNG zlib+defilter, BMP 24-bit, GIF real-LZW all decode
+    the SAME pixels): over the 12-image parity fixture each image is
+    encoded three ways; per media_id the three decoded crc32s and
+    (w, h) must be identical — three disjoint decode paths agreeing
+    bit-for-bit. Fixture size is code-defined → constant oracle."""
+    from ..operators.multimodal import parity_fixture, pixel_stats
+
+    _ensure_session_conf(spark)
+    stats = pixel_stats(parity_fixture(spark))
+    per_img = stats.groupBy("media_id").agg(
+        F.count("*").alias("n_codecs"),
+        F.countDistinct("pixel_crc32").alias("n_crc"),
+        F.countDistinct("width", "height").alias("n_dims"),
+    )
+    bad = per_img.filter(
+        (F.col("n_codecs") != 3)
+        | (F.col("n_crc") != 1)
+        | (F.col("n_dims") != 1)
+    )
+    return (
+        _scalar(per_img, F.count("*"), "n_images")
+        .crossJoin(_scalar(bad, F.count("*"), "n_parity_violations"))
+    )
+
+
+CHECK_PIXEL_PARITY_SQL = """
+SELECT CAST(12 AS BIGINT) AS n_images,
+       CAST(0 AS BIGINT) AS n_parity_violations
+"""
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality gate (the cheap perplexity proxy):
     Shannon entropy of the per-doc character distribution — gibberish and
@@ -3980,6 +4013,7 @@ CATALOG.update(
         "posexplode_tokens": Entry(posexplode_tokens, POSEXPLODE_TOKENS_SQL),
         "check_multimodal": Entry(check_multimodal, CHECK_MULTIMODAL_SQL),
         "check_png_pixels": Entry(check_png_pixels, CHECK_PNG_PIXELS_SQL),
+        "check_pixel_parity": Entry(check_pixel_parity, CHECK_PIXEL_PARITY_SQL),
         "text_char_entropy": Entry(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     }
 )
@@ -4426,12 +4460,12 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # catalog_r7j: target_encode_oof, conformal_interval;
 # catalog_r7k: lateral_topk, trimmed_mean_price;
 # catalog_r7l: join_asof_tolerance, recursive_reachability;
-# plus check_png_pixels, the full-pixel-decode invariant registered in
-# this file). That is 72 candidates for 50 slots: lead with the 29 r6
-# stragglers (oldest debt first), then the r7 batches in registration
-# order, keep one events_table canary with a prior green row, and
-# queue the overflow (~23, take from the end of r7l + r7k + r7j) for
-# r9 with a note.
+# plus check_png_pixels and check_pixel_parity, the full-pixel-decode
+# invariants registered in this file). That is 73 candidates for 50
+# slots: lead with the 29 r6 stragglers (oldest debt first), then the
+# r7 batches in registration order, keep one events_table canary with
+# a prior green row, and queue the overflow (~24, take from the end of
+# r7l + r7k + r7j) for r9 with a note.
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)
     "events_session_window",
