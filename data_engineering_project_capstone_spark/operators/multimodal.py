@@ -808,6 +808,136 @@ def png_fixture(spark: SparkSession, n: int = 24, seed: int = 31) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# WAV PCM SAMPLE decoding — stdlib wave + numpy (audio twin of
+# pixel_stats): PCM is uncompressed, so this is a full sample decode,
+# not header sniffing.
+# ---------------------------------------------------------------------------
+
+
+def wav_samples(payload: bytes):
+    """Decode 16-bit PCM WAV to a (n_frames, n_channels) int16 array
+    plus the sample rate. Other sample widths raise loudly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sample width {wf.getsampwidth()} (only 16-bit here)"
+            )
+        if wf.getcomptype() != "NONE":
+            raise NotImplementedError("compressed WAV")
+        frames = wf.readframes(wf.getnframes())
+        arr = np.frombuffer(frames, dtype="<i2").reshape(
+            -1, wf.getnchannels()
+        )
+        return arr, wf.getframerate()
+
+
+SAMPLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mean_sample", T.DoubleType()),
+        T.StructField("min_sample", T.IntegerType()),
+        T.StructField("max_sample", T.IntegerType()),
+        T.StructField("sample_crc32", T.LongType()),
+    ]
+)
+
+
+def sample_stats(df: DataFrame) -> DataFrame:
+    """Per-clip PCM statistics for WAV payloads (mapInPandas,
+    Arrow-batched): exact mean (int64 sample sum ÷ count), min/max,
+    crc32 of the raw little-endian sample bytes (the determinism
+    handle). The audio twin of ``pixel_stats``."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, rate = wav_samples(payload)
+                n = arr.size
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr.sum(dtype="int64")) / n if n else None,
+                        int(arr.min()) if n else None,
+                        int(arr.max()) if n else None,
+                        zlib.crc32(arr.tobytes()) & 0xFFFFFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_frames",
+                    "mean_sample",
+                    "min_sample",
+                    "max_sample",
+                    "sample_crc32",
+                ],
+            )
+
+    return df.mapInPandas(run, SAMPLE_STATS_SCHEMA)
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM WAV writer (stdlib wave; fixture twin of
+    wav_samples)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(arr.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def wav_fixture(spark: SparkSession, n: int = 16, seed: int = 53) -> DataFrame:
+    """Deterministic WAV fixture: n clips cycling mono/stereo, integer
+    sawtooth + seeded-noise samples (no libm trig — exact everywhere),
+    varying lengths and rates."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        ch = 1 + (i % 2)
+        frames = int(rng.integers(50, 400))
+        rate = (8000, 16000, 44100)[i % 3]
+        t = np.arange(frames * ch, dtype=np.int64)
+        saw = ((t * (i + 3)) % 2048 - 1024).astype("<i2")
+        noise = rng.integers(-256, 256, size=t.size).astype("<i2")
+        samples = (saw + noise).reshape(frames, ch)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(encode_wav(samples, rate)),
+                {"codec": "pcm16", "rate": str(rate)},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def parity_fixture(spark: SparkSession, n: int = 12, seed: int = 47) -> DataFrame:
     """Cross-container parity fixture: n RGB images, each encoded as
     PNG (cycled filters), BMP, and GIF (alternating real-LZW and

@@ -2609,6 +2609,60 @@ SELECT CAST(12 AS BIGINT) AS n_images,
 """
 
 
+def check_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible contract of the FULL WAV PCM sample decode
+    (round-7: stdlib wave + numpy int16, operators/multimodal.py
+    sample_stats — the audio twin of the pixel checks): over the
+    16-clip fixture, (a) every clip yields sane stats (min ≤ mean ≤
+    max, crc present, 16-bit range), and (b) the sample decoder's
+    rate/channels/frames AGREE with the independent header-walk
+    decode_media path. Fixture size is code-defined → constant
+    oracle."""
+    from ..operators.multimodal import decode_media, sample_stats, wav_fixture
+
+    _ensure_session_conf(spark)
+    media = wav_fixture(spark)
+    stats = sample_stats(media)
+    # decode_media's WAV convention: width=rate, height=channels,
+    # n_frames=frame count (multimodal.py _decode_wav docstring)
+    dec = decode_media(media).select(
+        F.col("media_id").alias("mid"),
+        F.col("width").alias("h_rate"),
+        F.col("height").alias("h_ch"),
+        F.col("n_frames").alias("h_frames"),
+    )
+    bad = stats.filter(
+        (F.col("min_sample") > F.col("max_sample"))
+        | (F.col("mean_sample") < F.col("min_sample"))
+        | (F.col("mean_sample") > F.col("max_sample"))
+        | (F.col("min_sample") < -32768)
+        | (F.col("max_sample") > 32767)
+        | F.col("sample_crc32").isNull()
+    )
+    mismatch = stats.join(
+        dec,
+        (F.col("media_id") == F.col("mid"))
+        & (
+            (F.col("sample_rate") != F.col("h_rate"))
+            | (F.col("n_channels") != F.col("h_ch"))
+            | (F.col("n_frames") != F.col("h_frames"))
+        ),
+        "left_semi",
+    )
+    return (
+        _scalar(stats, F.count("*"), "n_wav")
+        .crossJoin(_scalar(bad, F.count("*"), "n_bad_stats"))
+        .crossJoin(_scalar(mismatch, F.count("*"), "n_header_sample_mismatch"))
+    )
+
+
+CHECK_WAV_SAMPLES_SQL = """
+SELECT CAST(16 AS BIGINT) AS n_wav,
+       CAST(0 AS BIGINT) AS n_bad_stats,
+       CAST(0 AS BIGINT) AS n_header_sample_mismatch
+"""
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality gate (the cheap perplexity proxy):
     Shannon entropy of the per-doc character distribution — gibberish and
@@ -4014,6 +4068,7 @@ CATALOG.update(
         "check_multimodal": Entry(check_multimodal, CHECK_MULTIMODAL_SQL),
         "check_png_pixels": Entry(check_png_pixels, CHECK_PNG_PIXELS_SQL),
         "check_pixel_parity": Entry(check_pixel_parity, CHECK_PIXEL_PARITY_SQL),
+        "check_wav_samples": Entry(check_wav_samples, CHECK_WAV_SAMPLES_SQL),
         "text_char_entropy": Entry(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     }
 )
@@ -4460,12 +4515,13 @@ assert len(_DRIVER_WINDOW_R6) == 50, len(_DRIVER_WINDOW_R6)
 # catalog_r7j: target_encode_oof, conformal_interval;
 # catalog_r7k: lateral_topk, trimmed_mean_price;
 # catalog_r7l: join_asof_tolerance, recursive_reachability;
-# plus check_png_pixels and check_pixel_parity, the full-pixel-decode
-# invariants registered in this file). That is 73 candidates for 50
-# slots: lead with the 29 r6 stragglers (oldest debt first), then the
-# r7 batches in registration order, keep one events_table canary with
-# a prior green row, and queue the overflow (~24, take from the end of
-# r7l + r7k + r7j) for r9 with a note.
+# plus check_png_pixels, check_pixel_parity, and check_wav_samples,
+# the full pixel/sample-decode invariants registered in this file).
+# That is 74 candidates for 50 slots: lead with the 29 r6 stragglers
+# (oldest debt first), then the r7 batches in registration order, keep
+# one events_table canary with a prior green row, and queue the
+# overflow (~25, take from the end of r7l + r7k + r7j) for r9 with a
+# note.
 _DRIVER_WINDOW_R7 = [
     # (a) shared-helper canary (events_table; green r5 + r6 rows)
     "events_session_window",

@@ -55,6 +55,7 @@ WEIGHTS = {
     "test_r7l_entries.py": 17,
     "test_png_pixels.py": 12,
     "test_pixels_multiformat.py": 58,
+    "test_wav_samples.py": 14,
     "test_partition_invariance.py": 60,
 }
 

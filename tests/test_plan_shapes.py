@@ -91,6 +91,7 @@ def test_no_python_udf_in_hot_paths(all_plans):
         "check_multimodal",  # invariant check over the mapInPandas stages
         "check_png_pixels",  # full PNG pixel decode is a mapInPandas stage
         "check_pixel_parity",  # PNG/BMP/GIF decode is a mapInPandas stage
+        "check_wav_samples",  # WAV PCM decode is a mapInPandas stage
     }
     for name, plan in all_plans.items():
         if name in allowed_python:
