@@ -276,12 +276,19 @@ FROM part
 
 def cond_compass_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: sign-conditional compass formatting (reference dataprep.py:
-    144-145) on acctbal. printf on both sides → identical strings."""
+    144-145) on acctbal. printf on both sides → identical strings.
+
+    NULL balance → NULL compass, made EXPLICIT on the Spark side:
+    Spark's format_string renders a NULL argument as the literal
+    string "null" (Java String.format), so without the guard a NULL
+    balance becomes "nullN" here while DuckDB's printf propagates
+    NULL — pinned by the degenerate-customer net."""
     cust = t(spark, sf_dir, "customer")
     mag = F.format_string("%.2f", F.abs(F.col("c_acctbal")))
     return cust.select(
         "c_custkey",
-        F.when(F.col("c_acctbal") < 0, F.concat(mag, F.lit("S")))
+        F.when(F.col("c_acctbal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("c_acctbal") < 0, F.concat(mag, F.lit("S")))
         .otherwise(F.concat(mag, F.lit("N")))
         .alias("bal_compass"),
     )

@@ -144,7 +144,8 @@ cand AS (
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
        CAST(count(*) AS BIGINT) AS n_candidate_pairs,
-       CAST(sum(CASE WHEN d2 <= {_RADIUS * _RADIUS} THEN 1 ELSE 0 END)
+       CAST(coalesce(sum(CASE WHEN d2 <= {_RADIUS * _RADIUS}
+                         THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_within_radius,
        CAST(coalesce(sum(CASE WHEN d2 <= {_RADIUS * _RADIUS} THEN d2 END),
             0) AS BIGINT) AS sum_d2

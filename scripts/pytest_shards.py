@@ -36,6 +36,7 @@ WEIGHTS = {
     "test_clusters.py": 38,
     "test_degenerate_docs.py": 25,
     "test_degenerate_orders.py": 60,
+    "test_degenerate_customer.py": 40,
     "test_streaming.py": 25,
     "test_approx.py": 16,
     "test_dedup_similarity.py": 15,
