@@ -1108,6 +1108,20 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("_em"),
         F.count("*").alias("cnt"),
+        F.min("l_extendedprice").alias("_mn"),
+        F.max("l_extendedprice").alias("_mx"),
+    )
+    # percentile_approx's actual guarantee is an OBSERVED value at the
+    # requested rank; for a tiny group the exact (interpolating) median
+    # can sit far from EVERY observed value, so the 1%-of-median check is
+    # the wrong invariant there — the degenerate-lineitem net pinned this
+    # with a 2-row group whose middle values are 77.7 and 1000. Small
+    # groups assert the real contract instead: an observed in-range value.
+    median_ok = F.when(
+        F.col("cnt") >= 100,
+        F.abs(F.col("_am") - F.col("_em")) <= 0.01 * F.col("_em"),
+    ).otherwise(
+        (F.col("_am") >= F.col("_mn")) & (F.col("_am") <= F.col("_mx"))
     )
     return agg.select(
         "l_returnflag",
@@ -1116,9 +1130,7 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("_ap") - F.col("n_parts")) <= 0.05 * F.col("n_parts")).alias(
             "approx_parts_ok"
         ),
-        (F.abs(F.col("_am") - F.col("_em")) <= 0.01 * F.col("_em")).alias(
-            "approx_median_ok"
-        ),
+        median_ok.alias("approx_median_ok"),
     ).orderBy("l_returnflag")
 
 

@@ -37,6 +37,7 @@ WEIGHTS = {
     "test_degenerate_docs.py": 25,
     "test_degenerate_orders.py": 60,
     "test_degenerate_customer.py": 40,
+    "test_degenerate_lineitem.py": 41,
     "test_streaming.py": 25,
     "test_approx.py": 16,
     "test_dedup_similarity.py": 15,

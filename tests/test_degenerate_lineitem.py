@@ -1,0 +1,119 @@
+"""Degenerate-input sweep over every lineitem-consuming catalog entry
+(completes the fact side of the per-table nets).
+
+The synthetic lineitem is too well-behaved — quantities 1..50,
+discounts 0..0.1, every orderkey resolvable, multi-line orders
+everywhere. This corpus makes the risky paths execute:
+
+- a ZERO extendedprice and a zero-revenue line (discount = 1.0):
+  revenue ratios, Gini/Pareto folds, histogram bin 0
+- discount exactly 0 and exactly 1 (the [lo, hi] BETWEEN boundaries
+  of Q6-style predicates)
+- a dangling l_orderkey (order joins drop it; RI audit counts it)
+- one single-line order and one 5-line order (per-order aggregates at
+  both extremes)
+- duplicate (orderkey, partkey) with different line numbers
+- a quantity far above the synthetic range (top-k/argmax/skyline tie
+  paths, decorrelated-average cross-multiplications)
+- all lines of one order shipped the same midnight timestamp (ties in
+  every date window)
+
+Two assertions per entry, identical to the other nets."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import duckdb
+import pytest
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+from test_oracle_differential import TABLES, _rowset
+
+REAL_SF = "/root/testdata/sf0.001"
+
+_TS = dt.datetime
+
+DEGENERATE_LINEITEM = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+    #  l_shipdate)
+    (1, 1, 1, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", _TS(2000, 1, 2)),  # zero price
+    (1, 2, 1, 2, 5.0, 1000.0, 1.0, 0.05, "R", "F", _TS(2000, 1, 2)),  # disc=1
+    (1, 2, 2, 3, 5.0, 1000.0, 0.0, 0.0, "A", "F", _TS(2000, 1, 2)),  # dup pk
+    (1, 3, 2, 4, 500.0, 99999.99, 0.05, 0.08, "N", "O", _TS(2000, 1, 2)),
+    (1, 4, 3, 5, 2.0, 50.5, 0.1, 0.0, "R", "O", _TS(2000, 1, 2)),
+    (2, 1, 1, 1, 10.0, 500.0, 0.04, 0.02, "N", "O", _TS(2000, 3, 15)),
+    (999999, 1, 1, 1, 3.0, 77.7, 0.06, 0.01, "A", "F", _TS(2000, 6, 1)),
+]
+
+
+@pytest.fixture(scope="module")
+def degen_dir(spark, tmp_path_factory):
+    """sf0.001 with lineitem.parquet swapped for the degenerate corpus."""
+    d = tmp_path_factory.mktemp("degen_lineitem")
+    for name in TABLES:
+        if name != "lineitem":
+            shutil.copy(f"{REAL_SF}/{name}.parquet", d / f"{name}.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*DEGENERATE_LINEITEM))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(cols[0], pa.int64()),
+                "l_partkey": pa.array(cols[1], pa.int64()),
+                "l_suppkey": pa.array(cols[2], pa.int64()),
+                "l_linenumber": pa.array(cols[3], pa.int32()),
+                "l_quantity": pa.array(cols[4], pa.float64()),
+                "l_extendedprice": pa.array(cols[5], pa.float64()),
+                "l_discount": pa.array(cols[6], pa.float64()),
+                "l_tax": pa.array(cols[7], pa.float64()),
+                "l_returnflag": pa.array(cols[8], pa.string()),
+                "l_linestatus": pa.array(cols[9], pa.string()),
+                "l_shipdate": pa.array(cols[10], pa.timestamp("us")),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+def _lineitem_entries():
+    return sorted(
+        name
+        for name, e in CATALOG.items()
+        if e.sql is not None and "lineitem" in e.sql.lower()
+    )
+
+
+@pytest.mark.parametrize("name", _lineitem_entries())
+def test_entry_survives_degenerate_lineitem(spark, degen_dir, name):
+    entry = CATALOG[name]
+    sdf = entry.spark_fn(spark, degen_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]  # must not throw
+
+    con = duckdb.connect()
+    try:
+        for t_name in TABLES:
+            con.execute(
+                f"CREATE VIEW {t_name} AS "
+                f"SELECT * FROM '{degen_dir}/{t_name}.parquet'"
+            )
+        res = con.execute(entry.sql)
+        ddb_cols = [d[0] for d in res.description]
+        ddb_rows = res.fetchall()
+    finally:
+        con.close()
+
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count differs on degenerate lineitem "
+        f"(spark={len(spark_rows)} duck={len(ddb_rows)})"
+    )
+    assert _rowset(spark_rows, spark_cols) == _rowset(ddb_rows, ddb_cols), (
+        f"{name}: values differ on degenerate lineitem"
+    )
