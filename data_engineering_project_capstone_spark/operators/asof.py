@@ -54,6 +54,14 @@ def asof_join(
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
+    if "_rts" in right_cols:
+        # The carried struct smuggles the right timestamp under this
+        # internal field; a same-named payload column would make the
+        # getField lookups ambiguous.
+        raise ValueError(
+            "asof_join: '_rts' is reserved for the internal right-timestamp "
+            "field; rename the right-side column"
+        )
 
     r_struct = F.struct(
         F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]

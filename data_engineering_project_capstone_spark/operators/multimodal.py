@@ -442,7 +442,10 @@ def _lzw_decode(mcs: int, data: bytes) -> list[int]:
     big = int.from_bytes(bytes(data), "little")
     total_bits = len(data) * 8
     width = mcs + 1
-    table: dict[int, list[int]] = {}
+    # Pre-seed the root table: encoders only *should* lead with CLEAR
+    # (GIF89a spec appendix F); giflib/PIL decode streams that start with
+    # a literal code, so we must too. CLEAR below stays as a pure reset.
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
     next_code = end + 1
     prev: list[int] | None = None
     out: list[int] = []
@@ -458,16 +461,12 @@ def _lzw_decode(mcs: int, data: bytes) -> list[int]:
             continue
         if code == end:
             return out
-        if prev is None:
+        if code in table:
             entry = table[code]
-        elif code in table:
-            entry = table[code]
-        elif code == next_code:
+        elif prev is not None and code == next_code:
             entry = prev + [prev[0]]
         else:
             raise ValueError(f"corrupt GIF: LZW code {code} out of range")
-        out.append(0)  # placeholder keeps list ops near; replaced below
-        out.pop()
         out.extend(entry)
         if prev is not None and next_code < 4096:
             table[next_code] = prev + [entry[0]]
@@ -628,15 +627,22 @@ def decode_pixels(payload: bytes):
     entropy decode remains the genuine PIL/libjpeg boundary."""
     head = bytes(payload[:8])
     if head == b"\x89PNG\r\n\x1a\n":
-        return png_pixels(payload)
-    if head[:2] == b"BM":
-        return bmp_pixels(payload)
-    if head[:6] in (b"GIF87a", b"GIF89a"):
-        return gif_pixels(payload)
-    raise NotImplementedError(
-        "pixel decode here covers PNG/BMP/GIF; JPEG entropy decode needs "
-        "PIL/libjpeg behind this same bytes -> pixels contract"
-    )
+        px = png_pixels(payload)
+    elif head[:2] == b"BM":
+        px = bmp_pixels(payload)
+    elif head[:6] in (b"GIF87a", b"GIF89a"):
+        px = gif_pixels(payload)
+    else:
+        raise NotImplementedError(
+            "pixel decode here covers PNG/BMP/GIF; JPEG entropy decode "
+            "needs PIL/libjpeg behind this same bytes -> pixels contract"
+        )
+    if px.size == 0:
+        # A syntactically valid header may still declare width/height 0;
+        # fail with the same loud contract as any other corrupt payload
+        # instead of a ZeroDivisionError deep inside a Spark task.
+        raise ValueError("corrupt image: zero-area pixel grid")
+    return px
 
 
 PIXEL_STATS_SCHEMA = T.StructType(

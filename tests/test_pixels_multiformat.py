@@ -104,3 +104,26 @@ def test_parity_fixture_pixel_stats_spark(spark):
             (r["pixel_crc32"], r["width"], r["height"], r["channels"])
         )
     assert all(len(v) == 1 for v in by_img.values())
+
+
+def test_lzw_decodes_stream_without_leading_clear():
+    # Spec-legal: encoders only *should* lead with CLEAR (GIF89a app. F);
+    # giflib/PIL decode literal-first streams, so we must too.
+    # Codes 1@3, 2@3, 1@3 grow the table to 8 entries (width bump), then
+    # END(5)@4 — packed LSB-first by hand since our encoder always CLEARs.
+    big = 1 | (2 << 3) | (1 << 6) | (5 << 9)
+    assert _lzw_decode(2, big.to_bytes(2, "little")) == [1, 2, 1]
+
+
+def test_lzw_invalid_first_code_raises_valueerror():
+    # first code beyond the root table (and != next_code) must be the
+    # documented loud failure, not a bare KeyError
+    with pytest.raises(ValueError, match="out of range"):
+        _lzw_decode(2, b"\x07")
+
+
+def test_zero_area_image_raises_valueerror():
+    # a syntactically valid header declaring width/height 0 must hit the
+    # corrupt-payload contract, not a ZeroDivisionError inside pixel_stats
+    with pytest.raises(ValueError, match="zero-area"):
+        decode_pixels(encode_bmp(np.zeros((0, 0, 3), dtype=np.uint8)))

@@ -292,3 +292,17 @@ def test_asof_join_tolerance_matches_merge_asof(spark, left_ts, right_ts, tol):
             assert g["asof_rid"] is None, (g, e)
         else:
             assert g["asof_rid"] == e["rid"], (g, e)
+
+
+def test_asof_join_rejects_reserved_rts_column(spark):
+    """'_rts' is the internal right-timestamp field inside the carried
+    struct; a same-named payload column would make getField ambiguous."""
+    import datetime as _dt
+
+    from data_engineering_project_capstone_spark.operators.asof import asof_join
+
+    base = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, 1, base)], ["lid", "k", "ts"])
+    right = spark.createDataFrame([(1, base, 1.0)], ["k", "ts", "_rts"])
+    with pytest.raises(ValueError, match="_rts"):
+        asof_join(left, right, on=["k"], right_cols=["_rts"])
