@@ -83,10 +83,10 @@ def _directed_pairs(pts: DataFrame) -> DataFrame:
     )
 
 
-def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row DBSCAN ledger: point/core/border/noise counts, number of
-    clusters, and the largest cluster's size (core + attached border).
-    See module docstring for the algorithm and determinism contract."""
+def _core_and_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(pts, pairs, core, edges) — the shared DBSCAN front half."""
     pts = _points(spark, sf_dir).localCheckpoint()
     pairs = _directed_pairs(pts).localCheckpoint()  # degree + edges + border
     deg = pairs.groupBy("ka").agg((F.count("*") + 1).alias("deg"))
@@ -101,25 +101,43 @@ def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_b = core.select(F.col("k").alias("kb"))
     edges = pairs.join(core_a, "ka").join(core_b, "kb").select("ka", "kb")
     edges = edges.localCheckpoint()  # consumed every CC round
-    # min-label propagation, K unrolled rounds (label 0 = own key).
-    # Lineage is cut every SECOND round: eager localCheckpoint costs a
-    # scheduler round-trip per call, and two join rounds of plan growth
-    # are cheap — measured 5.5s -> ~3s at sf0.1 for the same result.
+    return pts, pairs, core, edges
+
+
+def _propagate_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
+    """One min-label propagation round over the core-edge list."""
+    nbr_min = (
+        edges.join(lab.select(F.col("k").alias("kb"), "lab"), "kb")
+        .groupBy("ka")
+        .agg(F.min("lab").alias("nlab"))
+    )
+    return lab.join(nbr_min, lab.k == nbr_min.ka, "left_outer").select(
+        "k",
+        F.least(
+            F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+        ).alias("lab"),
+    )
+
+
+def _min_labels(core: DataFrame, edges: DataFrame) -> DataFrame:
+    """K unrolled min-label rounds (label 0 = own key).
+    Lineage is cut every SECOND round: eager localCheckpoint costs a
+    scheduler round-trip per call, and two join rounds of plan growth
+    are cheap — measured 5.5s -> ~3s at sf0.1 for the same result."""
     lab = core.select("k", F.col("k").alias("lab"))
     for i in range(_CC_ROUNDS):
-        nbr_min = (
-            edges.join(lab.select(F.col("k").alias("kb"), "lab"), "kb")
-            .groupBy("ka")
-            .agg(F.min("lab").alias("nlab"))
-        )
-        lab = lab.join(nbr_min, lab.k == nbr_min.ka, "left_outer").select(
-            "k",
-            F.least(
-                F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-            ).alias("lab"),
-        )
+        lab = _propagate_round(edges, lab)
         if i % 2 == 1:
             lab = lab.localCheckpoint()
+    return lab
+
+
+def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DBSCAN ledger: point/core/border/noise counts, number of
+    clusters, and the largest cluster's size (core + attached border).
+    See module docstring for the algorithm and determinism contract."""
+    pts, pairs, core, edges = _core_and_edges(spark, sf_dir)
+    lab = _min_labels(core, edges)
     # border: non-core with a core in-radius neighbor -> min core label
     border = (
         pairs.join(core.select(F.col("k").alias("kb")), "kb")
@@ -300,7 +318,39 @@ ORDER BY neighbors_found
 """
 
 
+def check_dbscan_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible convergence proof for ``dbscan_customers``'s
+    bounded K=10 min-label rounds (the round-7 verdict's one perf-weak
+    watch): run the SAME K rounds, then one EXTRA propagation round, and
+    count labels that change. At a true fixpoint the answer is exactly 0
+    (constant oracle) — so if the data's component diameter ever exceeds
+    K at the driver's scale, this row goes red instead of the
+    under-convergence silently skewing cluster counts. The union-find
+    differential test keeps guarding the small scale; this guards the
+    driver's."""
+    _pts, _pairs, core, edges = _core_and_edges(spark, sf_dir)
+    lab = _min_labels(core, edges).localCheckpoint()  # consumed twice
+    extra = _propagate_round(edges, lab.select("k", "lab"))
+    changed = lab.select(
+        F.col("k").alias("k0"), F.col("lab").alias("lab0")
+    ).join(extra, F.col("k0") == F.col("k"))
+    return changed.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lab") != F.col("lab0"), 1).otherwise(0)),
+            F.lit(0),  # empty core set (tiny SF): vacuous fixpoint, not NULL
+        )
+        .cast("long")
+        .alias("changed_labels")
+    )
+
+
+CHECK_DBSCAN_FIXPOINT_SQL = "SELECT CAST(0 AS BIGINT) AS changed_labels"
+
+
 R7I_ENTRIES: dict[str, Entry] = {
     "dbscan_customers": Entry(dbscan_customers, DBSCAN_CUSTOMERS_SQL),
     "knn_graph_radius": Entry(knn_graph_radius, KNN_GRAPH_RADIUS_SQL),
+    "check_dbscan_fixpoint": Entry(
+        check_dbscan_fixpoint, CHECK_DBSCAN_FIXPOINT_SQL
+    ),
 }

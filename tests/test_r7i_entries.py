@@ -114,3 +114,12 @@ def test_knn_graph_matches_bruteforce(spark):
     got = {r["neighbors_found"]: r["n_points"] for r in rows}
     assert got == dict(hist)
     assert all(r["sum_nn1_d2"] == nn1_sum for r in rows)
+
+
+def test_check_dbscan_fixpoint_zero_at_both_sfs(spark):
+    """One extra propagation round changes zero labels — the bounded
+    K-round contract, driver-visible (constant-0 oracle)."""
+    fn = CATALOG["check_dbscan_fixpoint"].spark_fn
+    for sf in (SF, SF2):
+        [row] = fn(spark, sf).collect()
+        assert row["changed_labels"] == 0, sf
