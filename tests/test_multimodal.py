@@ -191,3 +191,24 @@ def test_decode_payload_corrupt_raises():
         decode_payload(b"\xff\xd8\xff\xda\x00\x02")  # scan before SOF
     with _pytest.raises(NotImplementedError):
         decode_payload(b"RIFX....AVI LIST")  # unknown container
+
+
+def test_jpeg_pixel_decode_boundary_is_pinned():
+    """PINNED DECISION (round 8, SURVEY §2.11): JPEG ENTROPY decode is
+    the one deliberate third-party boundary in the media stack. A valid
+    JPEG still header-decodes (dims/channels via the SOF marker walk),
+    but decode_pixels must refuse it LOUDLY — with the message that
+    names the PIL/libjpeg contract — rather than guess. If someone
+    later wires a real JPEG pixel path, this test forces them to also
+    extend check_pixel_parity to the fourth container."""
+    import pytest as _pytest
+
+    from data_engineering_project_capstone_spark.operators.multimodal import (
+        decode_payload,
+        decode_pixels,
+    )
+
+    jpg = _jpeg(34, 56)
+    assert decode_payload(jpg) == (34, 56, 1)  # header walk: supported
+    with _pytest.raises(NotImplementedError, match="JPEG entropy decode"):
+        decode_pixels(jpg)
