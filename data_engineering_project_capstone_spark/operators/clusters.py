@@ -104,6 +104,15 @@ def connected_components(
             cur = labels.agg(
                 F.sum(F.col("component").cast("decimal(38,0)"))
             ).collect()[0][0]
+            if cur is None:
+                # empty label set (no edges survived upstream filters):
+                # a vacuous fixpoint, not a stalled propagation. Without
+                # this, NULL sums never compare equal under the
+                # prev_sum-is-not-None guard and an EMPTY graph warned
+                # "no confirmed fixpoint" — caught by the degenerate-part
+                # net via check_er_mass on a pairless corpus.
+                converged = True
+                break
             if prev_sum is not None and cur == prev_sum:
                 converged = True
                 break

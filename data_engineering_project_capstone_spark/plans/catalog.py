@@ -259,10 +259,14 @@ def string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13: delimiter split → columns (reference splits coords/regions,
     dataprep.py:114,122)."""
     part = t(spark, sf_dir, "part")
+    # F.get, not getItem: under ANSI mode getItem throws
+    # INVALID_ARRAY_INDEX on a single-token name, while the SQL-standard
+    # (and DuckDB list[2]) behavior is NULL for the missing token.
+    # Caught by the degenerate-part net.
     return part.select(
         "p_partkey",
-        F.split(F.col("p_name"), " ").getItem(0).alias("name_adj"),
-        F.split(F.col("p_name"), " ").getItem(1).alias("name_noun"),
+        F.get(F.split(F.col("p_name"), " "), 0).alias("name_adj"),
+        F.get(F.split(F.col("p_name"), " "), 1).alias("name_noun"),
     )
 
 
@@ -1247,8 +1251,10 @@ SELECT p_partkey,
        lpad(p_brand, 10, '_') AS brand_padded,
        regexp_replace(p_name, 'widget', 'gadget', 'g') AS name_replaced,
        CAST(length(trim(p_type)) AS BIGINT) AS type_len,
-       CAST(CASE WHEN position('bolt' IN p_name) IS NULL THEN 0
-                 ELSE position('bolt' IN p_name) END AS BIGINT) AS bolt_pos
+       -- no NULL->0 coercion: Spark instr(NULL) is NULL, and so is
+       -- DuckDB position() on a NULL name; both return 0 only for a
+       -- genuine not-found. Caught by the degenerate-part net.
+       CAST(position('bolt' IN p_name) AS BIGINT) AS bolt_pos
 FROM part
 """
 

@@ -507,11 +507,20 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, size) minima all survive (neither strictly dominates).
     The window is over the PART dimension; at extreme scale the
     price axis pre-buckets into per-range partial minima first."""
-    parts = t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_retailprice",
-        "p_size",
-        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("pc"),
+    # Skyline is defined only over parts with BOTH axes present: a NULL
+    # price must not dominate anything — and engines disagree on where a
+    # NULL sort key lands in a RANGE frame (Spark NULLS FIRST would put
+    # a NULL-price part's size into EVERY prefix frame; DuckDB NULLS
+    # LAST would not). Caught by a degenerate-part probe.
+    parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("pc"),
+        )
     )
     w_lt = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)
     w_le = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, 0)
@@ -541,6 +550,7 @@ WITH parts AS (
     SELECT p_partkey, p_retailprice, p_size,
            CAST(round(p_retailprice * 100) AS BIGINT) AS pc
     FROM part
+    WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
 ),
 flagged AS (
     SELECT p_partkey, p_retailprice, p_size,

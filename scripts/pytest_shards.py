@@ -25,40 +25,46 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# measured call+setup seconds (round-7 full-suite --durations run);
-# anything unlisted gets a default weight of 5.
+# measured call+setup+teardown seconds per file (round-8 full-suite
+# 4-shard --durations=0 aggregation, /tmp/measure_durations.py pattern);
+# test_pixels_multiformat's durations were swallowed by the report, so
+# its weight is a standalone wall measurement (12.4s). Anything
+# unlisted gets a default weight of 5.
 WEIGHTS = {
-    "test_determinism.py": 69,
-    "test_oracle_differential.py": 95,
-    "test_properties.py": 75,
-    "test_plan_shapes.py": 45,
-    "test_cc_memo.py": 37,
-    "test_clusters.py": 38,
-    "test_degenerate_docs.py": 25,
-    "test_degenerate_orders.py": 60,
-    "test_degenerate_customer.py": 40,
-    "test_degenerate_lineitem.py": 41,
-    "test_streaming.py": 25,
-    "test_approx.py": 16,
-    "test_dedup_similarity.py": 15,
-    "test_csv_roundtrip.py": 8,
+    "test_properties.py": 121,
+    "test_plan_shapes.py": 119,
+    "test_degenerate_docs.py": 115,
+    "test_oracle_differential.py": 115,
+    "test_determinism.py": 114,
+    "test_clusters.py": 108,
+    "test_degenerate_orders.py": 95,
+    "test_partition_invariance.py": 53,
+    "test_flagship_sql_forms.py": 34,
+    "test_degenerate_customer.py": 27,
+    "test_cc_memo.py": 26,
+    "test_r6c_entries.py": 23,
+    "test_streaming.py": 23,
+    "test_degenerate_lineitem.py": 21,
+    "test_degenerate_part.py": 20,
+    "test_dedup_similarity.py": 18,
+    "test_graph.py": 17,
+    "test_degenerate_events.py": 15,
+    "test_events_layout.py": 15,
+    "test_pixels_multiformat.py": 13,
+    "test_degenerate_supplier.py": 12,
+    "test_degenerate_embeddings.py": 11,
+    "test_quality_expectations.py": 11,
     "test_r6f_entries.py": 8,
-    "test_pipeline_driver.py": 7,
-    "test_r6h_entries.py": 35,
-    "test_r7_entries.py": 25,
-    "test_r7b_entries.py": 26,
-    "test_r7c_entries.py": 20,
-    "test_r7d_entries.py": 19,
-    "test_r7g_entries.py": 19,
-    "test_r7h_entries.py": 19,
-    "test_r7i_entries.py": 23,
-    "test_r7j_entries.py": 34,
-    "test_r7k_entries.py": 17,
-    "test_r7l_entries.py": 17,
-    "test_png_pixels.py": 12,
-    "test_pixels_multiformat.py": 58,
-    "test_wav_samples.py": 14,
-    "test_partition_invariance.py": 60,
+    "test_r6b_entries.py": 8,
+    "test_pipeline_driver.py": 8,
+    "test_approx.py": 8,
+    "test_stateful_skew_partition.py": 8,
+    "test_r5_entries.py": 7,
+    "test_capstone_pipeline.py": 7,
+    "test_r6h_entries.py": 7,
+    "test_r7i_entries.py": 7,
+    "test_r7b_entries.py": 7,
+    "test_r7_entries.py": 6,
 }
 
 
