@@ -592,14 +592,19 @@ def surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IDENTITY-key replacement (SURVEY §7): dense row_number over an
     explicit order, on a dimension-sized input."""
     nation = t(spark, sf_dir, "nation")
-    w = Window.orderBy("n_name")
+    # Explicit NULLS LAST (Spark defaults NULLS FIRST, DuckDB NULLS
+    # LAST) and a key tiebreak (duplicate names otherwise make the
+    # numbering nondeterministic). Caught by the degenerate-nation net.
+    w = Window.orderBy(F.asc_nulls_last("n_name"), F.asc("n_nationkey"))
     return nation.select(
         F.row_number().over(w).cast("long").alias("nation_id"), "n_name"
     )
 
 
 SURROGATE_IDS_SQL = """
-SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS nation_id, n_name
+SELECT CAST(row_number() OVER (ORDER BY n_name NULLS LAST, n_nationkey) AS BIGINT)
+           AS nation_id,
+       n_name
 FROM nation
 """
 
@@ -3829,10 +3834,18 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("_nations"),
+            F.count("n_name").alias("_non_null"),
             F.count("*").alias("n_nations"),
         )
-        .select("r_name", "nations", F.col("n_nations").cast("long").alias("n_nations"))
+        # SQL string_agg over zero non-NULL values is NULL; collect_list
+        # skips NULLs so an all-NULL group would yield "" here. Caught by
+        # the degenerate-nation net.
+        .select(
+            "r_name",
+            F.when(F.col("_non_null") > 0, F.col("_nations")).alias("nations"),
+            F.col("n_nations").cast("long").alias("n_nations"),
+        )
         .orderBy("r_name")
     )
 

@@ -52,6 +52,7 @@ WEIGHTS = {
     "test_events_layout.py": 15,
     "test_pixels_multiformat.py": 13,
     "test_degenerate_supplier.py": 12,
+    "test_degenerate_nation_region.py": 12,
     "test_degenerate_embeddings.py": 11,
     "test_quality_expectations.py": 11,
     "test_r6f_entries.py": 8,
