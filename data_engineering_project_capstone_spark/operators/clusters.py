@@ -65,25 +65,34 @@ def connected_components(
         F.col("a").alias("id"),
         F.least(F.col("a"), F.col("nbr_min")).alias("component"),
     )
-    prev_sum: int | None = None
-    converged = False
-    for it in range(max_iterations):
+    def _one_round(lbl: DataFrame) -> DataFrame:
         # propagate: node's new label = min(own label, neighbors' labels)
         nbr_labels = (
-            edges.join(labels, edges["b"] == labels["id"])
+            edges.join(lbl, edges["b"] == lbl["id"])
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        labels = (
-            labels.join(nbr_labels, labels["id"] == nbr_labels["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
+        return lbl.join(nbr_labels, lbl["id"] == nbr_labels["a"], "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
         )
+
+    def _label_sum(lbl: DataFrame):
+        # decimal(38,0): labels may be full-range 64-bit hashes (graphs
+        # keyed on xxhash64 ids) whose long sum overflows under ANSI;
+        # the decimal sum is exact, so the monotone-decrease convergence
+        # argument is unchanged
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum: int | None = None
+    converged = False
+    for it in range(max_iterations):
+        labels = _one_round(labels)
         last_iter = it == max_iterations - 1
         probing = check_convergence and (
             (it + 1) % probe_every == 0 or last_iter
@@ -97,13 +106,7 @@ def connected_components(
         if probing or (not check_convergence and (it + 1) % probe_every == 0):
             labels = labels.localCheckpoint(eager=True)
         if probing:
-            # decimal(38,0): labels may be full-range 64-bit hashes
-            # (graphs keyed on xxhash64 ids) whose long sum overflows
-            # under ANSI; the decimal sum is exact, so the monotone-
-            # decrease convergence argument is unchanged
-            cur = labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            cur = _label_sum(labels)
             if cur is None:
                 # empty label set (no edges survived upstream filters):
                 # a vacuous fixpoint, not a stalled propagation. Without
@@ -118,6 +121,17 @@ def connected_components(
                 break
             prev_sum = cur
     if check_convergence and not converged:
+        # Ambiguous exit: the sum was still decreasing at the last probe.
+        # That covers BOTH "genuinely under-merged" and "converged exactly
+        # at the budget" (a path of diameter == max_iterations finishes on
+        # the final round, with no later probe to confirm it). One extra
+        # confirm round disambiguates: labels are monotone non-increasing,
+        # so an unchanged sum proves no label moved — return quietly (the
+        # extra round's labels are identical by that same argument).
+        confirm = _one_round(labels).localCheckpoint(eager=True)
+        if _label_sum(confirm) == prev_sum:
+            return confirm
+        labels = confirm  # one more round of real progress: keep it
         warnings.warn(
             f"connected_components: no confirmed fixpoint within "
             f"{max_iterations} iterations (graph diameter likely exceeds "
