@@ -49,9 +49,14 @@ def connected_components(
 
     Min-label propagation moves a label ONE hop per iteration: a graph of
     diameter d needs ~d iterations. If ``max_iterations`` is exhausted
-    without a confirmed fixpoint (long paths/chains), a RuntimeWarning is
-    raised — labels are then an under-merged partition (each emitted
-    component is a subset of a true component, never a mix of two).
+    without a confirmed fixpoint (long paths/chains), ONE extra confirm
+    round runs (so up to ``max_iterations + 1`` propagation rounds total
+    with ``check_convergence``): an unchanged label sum proves the final
+    round was already the fixpoint (labels are monotone non-increasing)
+    and returns quietly; otherwise the extra round's progress is kept and
+    a RuntimeWarning is raised — labels are then an under-merged partition
+    (each emitted component is a subset of a true component, never a mix
+    of two).
     """
     import warnings
 
@@ -120,6 +125,17 @@ def connected_components(
                 converged = True
                 break
             prev_sum = cur
+    if check_convergence and not converged and prev_sum is None:
+        # max_iterations == 0 (or no probe ever ran): nothing to confirm
+        # against, and the caller budgeted zero propagation rounds — warn
+        # without spending a confirm round.
+        warnings.warn(
+            "connected_components: zero propagation rounds ran; labels "
+            "are the initial min-neighbor seed, not components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return labels
     if check_convergence and not converged:
         # Ambiguous exit: the sum was still decreasing at the last probe.
         # That covers BOTH "genuinely under-merged" and "converged exactly

@@ -183,8 +183,14 @@ def _triangle_oriented_adj(spark: SparkSession, sf_dir: str):
     degree-oriented skeleton shared by graph_triangles and the
     bounded-out-degree test, so the test exercises the REAL collected
     arrays, not a model of them."""
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    # NULL-key discipline matches the replaced self-join and the SQL
+    # oracle (a = b never matches NULL): a NULL orderkey must not form a
+    # "basket of unknowns", so filter it; NULL partkeys are dropped by
+    # collect_set below, same as pa < pb dropped them in the join form.
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     )
     # Co-order pairs via per-basket array combinations, not a self-join:
     # ONE groupBy shuffle on ok (collect_set dedupes (ok,pk) in the same
@@ -389,8 +395,13 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand")
     )
+    # a NULL orderkey is not a basket: count(DISTINCT ok) skips NULL on
+    # the SQL side, so the Spark side must drop those rows too (and they
+    # must not inflate brand marginals). Caught by the degenerate-
+    # lineitem net's NULL-orderkey rows.
     bk = (
         t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
@@ -434,6 +445,7 @@ BASKET_LIFT_SQL = f"""
 WITH bk AS (
     SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_orderkey IS NOT NULL
 ),
 n AS (SELECT count(DISTINCT ok) AS n FROM bk),
 marg AS (SELECT b, count(*) AS s FROM bk GROUP BY b),

@@ -25,12 +25,12 @@ from __future__ import annotations
 import datetime as dt
 import shutil
 
-import duckdb
 import pytest
 
 from data_engineering_project_capstone_spark.plans.catalog import CATALOG
 
-from test_oracle_differential import TABLES, _rowset
+from degen_util import assert_entry_matches
+from test_oracle_differential import TABLES
 
 REAL_SF = "/root/testdata/sf0.001"
 
@@ -47,6 +47,13 @@ DEGENERATE_LINEITEM = [
     (1, 4, 3, 5, 2.0, 50.5, 0.1, 0.0, "R", "O", _TS(2000, 1, 2)),
     (2, 1, 1, 1, 10.0, 500.0, 0.04, 0.02, "N", "O", _TS(2000, 3, 15)),
     (999999, 1, 1, 1, 3.0, 77.7, 0.06, 0.01, "A", "F", _TS(2000, 6, 1)),
+    # two NULL-orderkey lines with distinct partkeys: a NULL key must
+    # never form a "basket of unknowns" — SQL a = b drops NULLs, so any
+    # groupBy-based co-occurrence (graph_triangles' basket rewrite) must
+    # filter NULL keys or it invents a (1,4) co-order edge the oracle
+    # never sees
+    (None, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS(2000, 7, 1)),
+    (None, 4, 2, 2, 1.0, 20.0, 0.0, 0.0, "N", "O", _TS(2000, 7, 1)),
 ]
 
 
@@ -92,28 +99,4 @@ def _lineitem_entries():
 
 @pytest.mark.parametrize("name", _lineitem_entries())
 def test_entry_survives_degenerate_lineitem(spark, degen_dir, name):
-    entry = CATALOG[name]
-    sdf = entry.spark_fn(spark, degen_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]  # must not throw
-
-    con = duckdb.connect()
-    try:
-        for t_name in TABLES:
-            con.execute(
-                f"CREATE VIEW {t_name} AS "
-                f"SELECT * FROM '{degen_dir}/{t_name}.parquet'"
-            )
-        res = con.execute(entry.sql)
-        ddb_cols = [d[0] for d in res.description]
-        ddb_rows = res.fetchall()
-    finally:
-        con.close()
-
-    assert len(spark_rows) == len(ddb_rows), (
-        f"{name}: row count differs on degenerate lineitem "
-        f"(spark={len(spark_rows)} duck={len(ddb_rows)})"
-    )
-    assert _rowset(spark_rows, spark_cols) == _rowset(ddb_rows, ddb_cols), (
-        f"{name}: values differ on degenerate lineitem"
-    )
+    assert_entry_matches(spark, name, degen_dir, "degenerate lineitem")

@@ -23,12 +23,12 @@ from __future__ import annotations
 import re
 import shutil
 
-import duckdb
 import pytest
 
 from data_engineering_project_capstone_spark.plans.catalog import CATALOG
 
-from test_oracle_differential import TABLES, _rowset
+from degen_util import assert_entry_matches
+from test_oracle_differential import TABLES
 
 REAL_SF = "/root/testdata/sf0.001"
 
@@ -94,28 +94,4 @@ def _nation_region_entries():
 
 @pytest.mark.parametrize("name", _nation_region_entries())
 def test_entry_survives_degenerate_dims(spark, degen_dir, name):
-    entry = CATALOG[name]
-    sdf = entry.spark_fn(spark, degen_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]  # must not throw
-
-    con = duckdb.connect()
-    try:
-        for t_name in TABLES:
-            con.execute(
-                f"CREATE VIEW {t_name} AS "
-                f"SELECT * FROM '{degen_dir}/{t_name}.parquet'"
-            )
-        res = con.execute(entry.sql)
-        ddb_cols = [d[0] for d in res.description]
-        ddb_rows = res.fetchall()
-    finally:
-        con.close()
-
-    assert len(spark_rows) == len(ddb_rows), (
-        f"{name}: row count differs on degenerate nation/region "
-        f"(spark={len(spark_rows)} duck={len(ddb_rows)})"
-    )
-    assert _rowset(spark_rows, spark_cols) == _rowset(ddb_rows, ddb_cols), (
-        f"{name}: values differ on degenerate nation/region"
-    )
+    assert_entry_matches(spark, name, degen_dir, "degenerate nation/region")

@@ -6,7 +6,7 @@ well-behaved — every name two lowercase tokens, every brand
 'Brand#<n>', every price positive, every size in range. This corpus
 makes the risky paths execute:
 
-- only SEVEN parts (p_partkey 0-6), so most lineitem l_partkey (0-199)
+- only EIGHT parts (p_partkey 0-7), so most lineitem l_partkey (0-199)
   dangle: inner part joins drop ~96% of the fact, RI audit counts it
 - a NULL p_name (string functions / LIKE / ER blocking over NULL)
 - an empty-string p_name and a SINGLE-TOKEN p_name — the classic
@@ -28,12 +28,12 @@ from __future__ import annotations
 import re
 import shutil
 
-import duckdb
 import pytest
 
 from data_engineering_project_capstone_spark.plans.catalog import CATALOG
 
-from test_oracle_differential import TABLES, _rowset
+from degen_util import assert_entry_matches
+from test_oracle_differential import TABLES
 
 REAL_SF = "/root/testdata/sf0.001"
 
@@ -93,28 +93,4 @@ def _part_entries():
 
 @pytest.mark.parametrize("name", _part_entries())
 def test_entry_survives_degenerate_parts(spark, degen_dir, name):
-    entry = CATALOG[name]
-    sdf = entry.spark_fn(spark, degen_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]  # must not throw
-
-    con = duckdb.connect()
-    try:
-        for t_name in TABLES:
-            con.execute(
-                f"CREATE VIEW {t_name} AS "
-                f"SELECT * FROM '{degen_dir}/{t_name}.parquet'"
-            )
-        res = con.execute(entry.sql)
-        ddb_cols = [d[0] for d in res.description]
-        ddb_rows = res.fetchall()
-    finally:
-        con.close()
-
-    assert len(spark_rows) == len(ddb_rows), (
-        f"{name}: row count differs on degenerate parts "
-        f"(spark={len(spark_rows)} duck={len(ddb_rows)})"
-    )
-    assert _rowset(spark_rows, spark_cols) == _rowset(ddb_rows, ddb_cols), (
-        f"{name}: values differ on degenerate parts"
-    )
+    assert_entry_matches(spark, name, degen_dir, "degenerate parts")
