@@ -306,3 +306,135 @@ def test_asof_join_rejects_reserved_rts_column(spark):
     right = spark.createDataFrame([(1, base, 1.0)], ["k", "ts", "_rts"])
     with pytest.raises(ValueError, match="_rts"):
         asof_join(left, right, on=["k"], right_cols=["_rts"])
+
+
+# ---------------------------------------------------------------------------
+# r8: connected_components vs union-find on arbitrary random graphs —
+# including EMPTY edge sets, duplicate/self edges, and chains whose
+# diameter lands exactly on / just over the iteration budget (the three
+# shapes the r8 fixes touched: vacuous fixpoint, confirm round,
+# under-merge warning).
+# ---------------------------------------------------------------------------
+
+
+def _uf(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label canonicalization
+    return {x: find(x) for x in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    import warnings as _warnings
+
+    from data_engineering_project_capstone_spark.operators.clusters import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges or [(0, 0)], ["id_a", "id_b"])
+    if not edges:
+        df = df.filter("id_a <> id_a")  # genuinely empty edge set
+    with _warnings.catch_warnings():
+        # 31 nodes / budget 10: a worst-case chain may legitimately
+        # under-merge and warn; the property below only asserts
+        # exactness when no warning fired.
+        _warnings.simplefilter("always")
+        caught: list = []
+        _warnings.showwarning = lambda *a, **k: caught.append(a)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, max_iterations=10).collect()
+        }
+    expect = _uf(edges)
+    if not caught:
+        assert got == expect
+    else:
+        # under-merge contract: every emitted component is a SUBSET of a
+        # true component (never a mix), and labels are min-monotone
+        assert set(got) == set(expect)
+        for node, comp in got.items():
+            assert comp <= node
+            assert expect[comp] == expect[node], (node, comp)
+
+
+def test_connected_components_confirm_round_silences_exact_budget(spark):
+    """A path of diameter exactly max_iterations converges on the final
+    round; the r8 confirm round must return quietly (no spurious
+    under-merge warning) with exact labels."""
+    import warnings as _warnings
+
+    from data_engineering_project_capstone_spark.operators.clusters import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any RuntimeWarning -> failure
+        got = connected_components(df, max_iterations=12).collect()
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_connected_components_zero_budget_warns_without_work(spark):
+    from data_engineering_project_capstone_spark.operators.clusters import (
+        connected_components,
+    )
+
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.warns(RuntimeWarning, match="zero propagation rounds"):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, max_iterations=0).collect()
+        }
+    # initial min-neighbor seed only — node 2 has not seen 0 yet
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
+@given(
+    name=st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(list("ab c")),
+            max_size=12,
+        ),
+    )
+)
+@settings(**SETTINGS)
+def test_string_split_get_matches_python(spark, name):
+    """r8: F.get on a split array returns NULL for a missing token (the
+    ANSI-safe replacement for getItem) — matches Python split semantics
+    for index 0/1 on any input including None, '', and 1-token names."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(name,)], "p_name string")
+    [row] = df.select(
+        F.get(F.split(F.col("p_name"), " "), 0).alias("adj"),
+        F.get(F.split(F.col("p_name"), " "), 1).alias("noun"),
+    ).collect()
+    if name is None:
+        assert row["adj"] is None and row["noun"] is None
+    else:
+        parts = name.split(" ")
+        assert row["adj"] == parts[0]
+        assert row["noun"] == (parts[1] if len(parts) > 1 else None)
