@@ -75,8 +75,22 @@ def chunked_running_offset(
     local = base.withColumn(
         "_local_cum", F.sum(value_col).over(w_local) - F.col(value_col)
     )
+    # NULL-safe rejoin: a NULL part value is a legitimate window
+    # partition (PARTITION BY keeps it), so the offset join must not
+    # drop it the way plain equality would. EqualNullSafe is still a
+    # hash-join key, so the broadcast plan shape is unchanged. Caught
+    # by the degenerate-docs net's NULL-source/lang rows.
+    off = offsets.select(
+        F.col(part_col).alias("_off_part"),
+        F.col("_chunk").alias("_off_chunk"),
+        "_chunk_off",
+    )
     return (
-        local.join(F.broadcast(offsets), [part_col, "_chunk"])
+        local.join(
+            F.broadcast(off),
+            F.col(part_col).eqNullSafe(F.col("_off_part"))
+            & (F.col("_chunk") == F.col("_off_chunk")),
+        )
         .withColumn(out_col, F.col("_chunk_off") + F.col("_local_cum"))
-        .drop("_chunk", "_chunk_off", "_local_cum")
+        .drop("_off_part", "_off_chunk", "_chunk", "_chunk_off", "_local_cum")
     )

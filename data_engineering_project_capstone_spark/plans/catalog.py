@@ -1312,7 +1312,11 @@ def _lang_hits_sql(lang_words: list[str]) -> str:
     )
 
 
-def _text_lang_id_sql() -> str:
+def _text_lang_id_sql(extra_cols: str = "") -> str:
+    """``extra_cols`` threads additional document columns through the
+    prediction CTE so consumers never need to JOIN back on doc_id — a
+    doc_id = doc_id re-join silently drops NULL-id rows that the
+    per-row Spark form keeps (caught by the degenerate-docs net)."""
     from ..operators.text import STOPWORDS
 
     langs = sorted(STOPWORDS)  # tie-break order must match lang_id()
@@ -1321,10 +1325,11 @@ def _text_lang_id_sql() -> str:
     case = " ".join(
         f"WHEN {hits[lang]} = best THEN '{lang}'" for lang in langs
     )
+    extra = f", {extra_cols}" if extra_cols else ""
     return f"""
-SELECT doc_id,
+SELECT doc_id{extra},
        CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS lang_guess
-FROM (SELECT doc_id, text, {best} AS best FROM documents)
+FROM (SELECT doc_id{extra}, text, {best} AS best FROM documents)
 """
 
 

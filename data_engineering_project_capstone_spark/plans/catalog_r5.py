@@ -76,23 +76,23 @@ def text_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_DEDUP_TOKENS_SQL = rf"""
-WITH tok AS (
-    SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
-           generate_subscripts({_SQL_TOKS}, 1) AS pos
-    FROM documents
-), firsts AS (
-    SELECT doc_id, tok, min(pos) AS first_pos
-    FROM tok GROUP BY doc_id, tok
-), stats AS (
-    SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+-- per-row like the Spark form: the old unnest/regroup shape re-joined
+-- on doc_id, which silently dropped NULL-id docs the per-row
+-- array_distinct keeps (caught by the degenerate-docs net). The
+-- indexed lambda keeps exactly the first occurrence of each token —
+-- list_position returns the FIRST index, so x survives iff it IS the
+-- first occurrence, preserving order by construction.
+WITH ded AS (
+    SELECT doc_id, toks,
+           list_filter(toks, (x, i) -> list_position(toks, x) = i) AS dd
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
 )
-SELECT s.doc_id,
-       CAST(s.n_tokens AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_unique,
-       string_agg(f.tok, ' ' ORDER BY f.first_pos) AS dedup_text
-FROM stats s JOIN firsts f ON s.doc_id = f.doc_id
-GROUP BY s.doc_id, s.n_tokens
-ORDER BY s.doc_id
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(dd) AS BIGINT) AS n_unique,
+       array_to_string(dd, ' ') AS dedup_text
+FROM ded
+ORDER BY doc_id
 """
 
 
@@ -466,8 +466,17 @@ def sample_hash_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-partition heap path adequate.
     """
     docs = t(spark, sf_dir, "documents")
+    # NULLS LAST + content tiebreak: a NULL doc_id hashes to NULL, and
+    # the engines default its sort position oppositely (Spark NULLS
+    # FIRST vs DuckDB NULLS LAST) — which would shift every rank in the
+    # stratum; md5(text) totalizes the order between NULL-id docs.
+    # No-op on clean data (unique non-null ids). Degenerate-docs net.
     rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        Window.partitionBy("lang").orderBy(
+            F.asc_nulls_last(F.md5(F.col("doc_id").cast("string"))),
+            F.asc_nulls_last("doc_id"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))),
+        )
     )
     return (
         docs.select("doc_id", "lang", rk.alias("rk"))
@@ -481,7 +490,10 @@ SAMPLE_HASH_QUOTA_SQL = """
 WITH ranked AS (
     SELECT doc_id, lang,
            row_number() OVER (
-               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS LAST,
+                        doc_id NULLS LAST,
+                        md5(coalesce(text, ''))
            ) AS rk
     FROM documents
 )

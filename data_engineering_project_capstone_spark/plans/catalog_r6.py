@@ -128,9 +128,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     without changing semantics.
     """
     docs = t(spark, sf_dir, "documents")
+    # eqNullSafe: a NULL lang is NOT the target (the SQL CASE yields 0).
+    # Plain == gives NULL, and a token seen ONLY in NULL-lang docs then
+    # sums c_tgt to NULL -> NULL log-ratio -> silently shorter per-doc
+    # average. Caught by the degenerate-docs net.
     tok = docs.select(
         "doc_id",
-        (F.col("lang") == "en").alias("is_target"),
+        F.col("lang").eqNullSafe(F.lit("en")).alias("is_target"),
         F.explode(_toks()).alias("tok"),
     ).filter(F.col("tok") != "")
     cnt = tok.groupBy("tok").agg(

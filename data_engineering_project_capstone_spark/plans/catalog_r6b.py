@@ -406,9 +406,17 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-corpus single-partition window. Everything after is a
     shards-sized aggregate plus one broadcast scalar for the mean.
     """
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.filter(_toks(), lambda x: x != "")).cast("long").alias("n_tok"),
+    # a shard layout keyed on doc_id defines NO position for a NULL id
+    # (and the engines disagree on where a NULL sorts) — such rows are
+    # excluded here on both sides; count them upstream with an RI-style
+    # audit if they matter. Caught by the degenerate-docs net.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.filter(_toks(), lambda x: x != "")).cast("long").alias("n_tok"),
+        )
     )
     mx = docs.agg(F.max("doc_id").alias("_mx"))
     base = docs.crossJoin(F.broadcast(mx)).withColumn(
@@ -469,6 +477,7 @@ WITH d AS (
     SELECT doc_id,
            len(list_filter({_SQL_TOKS}, x -> x <> '')) AS n_tok
     FROM documents
+    WHERE doc_id IS NOT NULL
 ), c AS (
     SELECT doc_id, n_tok,
            coalesce(sum(n_tok) OVER (ORDER BY doc_id
@@ -760,9 +769,15 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__ALL__").alias("source"), "n_distinct"
     )
     est = per_src.unionByName(corpus)
-    exact = exact_src.unionByName(exact_all)
+    exact = exact_src.unionByName(exact_all).select(
+        F.col("source").alias("_x_source"), "n_distinct"
+    )
+    # null-safe: a NULL source is a real group on both sides; plain
+    # equality would drop it (the oracle never joins — single GROUP BY).
+    # Caught by the degenerate-docs net.
     return (
-        est.join(exact, "source")
+        est.join(exact, F.col("source").eqNullSafe(F.col("_x_source")))
+        .drop("_x_source")
         .select(
             "source",
             "n_docs",

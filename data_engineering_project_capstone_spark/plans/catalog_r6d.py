@@ -57,10 +57,16 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ≈ 0. Degenerate weights clamp to ≥ 1 so zero-length docs stay
     sample-able rather than dividing by zero."""
     docs = t(spark, sf_dir, "documents")
+    # explicit NULL-id sentinel: concat_ws SKIPS a NULL arg ('ws') while
+    # the oracle's concat treats it as empty ('ws:') — two engines would
+    # hash different strings for the same row. Both now hash 'ws:~null~'.
+    # No-op on clean data (doc_id non-null -> same 'ws:<id>' as before).
+    # Caught by the degenerate-docs net.
+    id_str = F.coalesce(F.col("doc_id").cast("string"), F.lit("~null~"))
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.lit("ws"), F.col("doc_id"))), 1, 15
+                F.md5(F.concat_ws(":", F.lit("ws"), id_str)), 1, 15
             ),
             16,
             10,
@@ -76,7 +82,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("n_chars"),
             key.alias("_key"),
         )
-        .orderBy(F.desc("_key"), "doc_id")
+        .orderBy(F.desc("_key"), F.asc_nulls_last("doc_id"))
         .limit(_WS_K)
         .select(
             "doc_id",
@@ -92,12 +98,13 @@ SAMPLE_WEIGHTED_SQL = f"""
 WITH keyed AS (
     SELECT doc_id, source, n_chars,
            ln((CAST(concat('0x', substring(
-                   md5(concat('ws', ':', CAST(doc_id AS VARCHAR))), 1, 15))
+                   md5(concat('ws', ':',
+                       coalesce(CAST(doc_id AS VARCHAR), '~null~'))), 1, 15))
                AS BIGINT) + 1.0) / {_TWO60})
              / greatest(n_chars, 1) AS k
     FROM documents
 ), top AS (
-    SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT {_WS_K}
+    SELECT * FROM keyed ORDER BY k DESC, doc_id NULLS LAST LIMIT {_WS_K}
 )
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
        {sql_ieee_round("k", 6)} AS es_key

@@ -47,11 +47,11 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANGID_CONFUSION_SQL = f"""
-WITH pred AS ({_text_lang_id_sql()})
-SELECT coalesce(d.lang, 'und') AS true_lang,
-       p.lang_guess AS pred_lang,
+WITH pred AS ({_text_lang_id_sql("lang")})
+SELECT coalesce(lang, 'und') AS true_lang,
+       lang_guess AS pred_lang,
        CAST(count(*) AS BIGINT) AS n
-FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+FROM pred
 GROUP BY 1, 2
 ORDER BY true_lang, pred_lang
 """

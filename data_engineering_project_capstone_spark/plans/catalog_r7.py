@@ -386,10 +386,12 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COHENS_KAPPA_SQL = f"""
-WITH pred AS ({_text_lang_id_sql()}),
+WITH pred AS ({_text_lang_id_sql("lang")}),
 conf AS (
-    SELECT coalesce(d.lang, 'und') AS a, p.lang_guess AS b, count(*) AS n
-    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    -- lang rides the pred CTE: a doc_id re-join would drop NULL-id
+    -- docs that the Spark per-row form counts (degenerate-docs net)
+    SELECT coalesce(lang, 'und') AS a, lang_guess AS b, count(*) AS n
+    FROM pred
     GROUP BY 1, 2
 ),
 marg AS (
@@ -436,9 +438,15 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = scored.select(
         "doc_id",
         "quality",
+        "fp",
         (F.count("*").over(wf) > 1).cast("int").alias("is_dup"),
     )
-    wd = Window.orderBy("quality", "doc_id")
+    # NULLS LAST + fp tiebreak: a NULL doc_id must land in the SAME
+    # decile on both engines (Spark defaults NULLS FIRST, DuckDB NULLS
+    # LAST), and the content fingerprint totalizes the order if two
+    # NULL-id docs tie on quality. No-op on clean data (doc_id is a
+    # unique non-null key there). Caught by the degenerate-docs net.
+    wd = Window.orderBy("quality", F.asc_nulls_last("doc_id"), "fp")
     return (
         flagged.select(
             F.ntile(10).over(wd).alias("decile"), "quality", "is_dup"
@@ -464,20 +472,33 @@ def calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CALIBRATION_CURVE_SQL = f"""
-WITH q AS ({TEXT_QUALITY_SQL}),
-fp AS (
+-- quality + fingerprint from ONE scan: the old q JOIN fp ON doc_id
+-- silently dropped NULL-id docs the Spark per-row form keeps
+-- (degenerate-docs net); decile order pins doc_id NULLS LAST + the fp
+-- tiebreak, mirroring the Spark window
+WITH base AS (
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))
-               AS fp
+           CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'))) AS DOUBLE) AS n_uniq,
+           CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
     FROM documents
 ),
 flagged AS (
-    SELECT q.doc_id, q.quality,
-           CAST(count(*) OVER (PARTITION BY fp.fp) > 1 AS INTEGER) AS is_dup
-    FROM q JOIN fp ON q.doc_id = fp.doc_id
+    SELECT doc_id,
+           {sql_ieee_round(
+               "0.4 * least(n_tok / 200.0, 1.0) "
+               "+ 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) "
+               "+ 0.3 * (CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END)",
+               4,
+           )} AS quality,
+           fp,
+           CAST(count(*) OVER (PARTITION BY fp) > 1 AS INTEGER) AS is_dup
+    FROM base
 ),
 deciled AS (
-    SELECT ntile(10) OVER (ORDER BY quality, doc_id) AS decile,
+    SELECT ntile(10) OVER (ORDER BY quality, doc_id NULLS LAST, fp) AS decile,
            quality, is_dup
     FROM flagged
 ),

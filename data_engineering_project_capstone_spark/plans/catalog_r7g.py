@@ -61,7 +61,11 @@ def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars").isNotNull())
         .select(
             F.col("n_chars").alias("s"),
-            (F.col("lang") == "en").cast("long").alias("y"),
+            # eqNullSafe: NULL lang is a NEGATIVE (the SQL CASE yields
+            # ELSE 1 for neg) — plain == makes y NULL, and a score group
+            # whose only doc has NULL lang then sums pos AND neg to NULL
+            # and silently vanishes from the sweep (degenerate-docs net)
+            F.col("lang").eqNullSafe(F.lit("en")).cast("long").alias("y"),
         )
     )
     hist = docs.groupBy("s").agg(

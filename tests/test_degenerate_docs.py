@@ -41,6 +41,12 @@ DEGENERATE_DOCS = [
     (5, " ".join(f"w{i % 7}" for i in range(4000)), "fr", "src2", 4 * 4000),
     (6, "exact duplicate text body", "en", "src3", 25),
     (7, "exact duplicate text body", "en", "src4", 25),
+    # r8: NULL grouping keys — a NULL lang/source must form its own
+    # group identically on both engines (GROUP BY keeps NULL; a = b
+    # join equality drops it), and a NULL doc_id must never pair in
+    # id-ordered pair joins (a.doc_id < b.doc_id is NULL-false)
+    (8, "null keyed body", None, None, 15),
+    (None, "null id body", "en", "src0", 12),
 ]
 
 
