@@ -1095,8 +1095,12 @@ WITH updates AS (
     FROM orders WHERE o_orderstatus = 'P'
 )
 SELECT o_orderkey, o_totalprice, 1 AS version
-FROM orders
-WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+FROM orders o
+-- NOT EXISTS, not NOT IN: a left_anti join keeps a NULL-key row (the
+-- equality never matches), while NOT IN turns ANY NULL comparison into
+-- "unknown" and silently drops it — the classic SQL trap, caught by
+-- the degenerate-orders net's NULL-orderkey row
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
 UNION ALL
 SELECT * FROM updates
 """

@@ -139,7 +139,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Recency is whole integer days; ties inside any window
     order by customer key, so quintile assignment is total-ordered and
     engine-identical."""
-    orders = t(spark, sf_dir, "orders")
+    # RFM is per-CUSTOMER: an anonymous order (NULL custkey) belongs to
+    # no customer, and its NULL key as a window tiebreak sorts oppositely
+    # across engines, permuting every quintile — excluded on both sides.
+    # Caught by the degenerate-orders net.
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     ref = orders.agg(F.max("o_orderdate").alias("ref_d"))
     per_cust = (
         orders.groupBy("o_custkey")
@@ -189,14 +193,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RFM_SEGMENTS_SQL = """
-WITH ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
+WITH ref AS (SELECT max(o_orderdate) AS ref_d FROM orders
+             WHERE o_custkey IS NOT NULL),
 per_cust AS (
     SELECT o_custkey,
            date_diff('day', CAST(max(o_orderdate) AS DATE),
                      CAST((SELECT ref_d FROM ref) AS DATE)) AS rec_days,
            count(*) AS freq,
            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_cents
-    FROM orders GROUP BY o_custkey
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ),
 scored AS (
     SELECT o_custkey, mon_cents,

@@ -235,9 +235,15 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true negatives. The bit-position table is bounded by m and
     broadcast; the fact side is two broadcast semi joins — the fact
     never shuffles, which is the entire point at 100 TB."""
+    # NULL keys carry no Bloom bits (md5(NULL) -> NULL; the oracle's
+    # '0x'||NULL cast would crash) and can never equality-match anyway —
+    # excluded from build AND probe on both sides. Degenerate nets.
     keys = (
         t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("c_custkey").isNotNull()
+        )
         .select("c_custkey")
         .distinct()
     )
@@ -248,7 +254,11 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(keys.select(k2.alias("b")))
         .distinct()
     )
-    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey")
+    )
     o1, o2 = _bloom_bits(F.col("o_custkey"))
     fact = orders.select("o_custkey", o1.alias("h1"), o2.alias("h2"))
     passed = fact.join(
@@ -288,7 +298,8 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOOM_PREFILTER_JOIN_SQL = f"""
 WITH keys AS (
-    SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    SELECT DISTINCT c_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL
 ),
 bits AS (
     SELECT DISTINCT b FROM (
@@ -306,6 +317,7 @@ fact AS (
            CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)),
                 16, 15)) AS BIGINT) % {_BLOOM_M} AS h2
     FROM orders
+    WHERE o_custkey IS NOT NULL
 ),
 ledger AS (
     SELECT (SELECT count(*) FROM keys) AS n_keys,

@@ -64,8 +64,11 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right side sits in its single home cell, and key_a < key_b kills
     the mirror."""
     x, y = _coords(F.col("c_custkey"))
+    # NULL custkey: no synthetic position — excluded on both sides
+    # (the oracle's '0x'||NULL cast would crash). Degenerate-customer net.
     pts = (
         t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
         .select(F.col("c_custkey").alias("k"), x.alias("x"), y.alias("y"))
         .withColumn("cx", (F.col("x") / _RADIUS).cast("long"))
         .withColumn("cy", (F.col("y") / _RADIUS).cast("long"))
@@ -129,6 +132,7 @@ WITH pts AS (
            CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
                 16, 15)) AS BIGINT) % {_GRID} AS y
     FROM customer
+    WHERE c_custkey IS NOT NULL
 ),
 cells AS (
     SELECT k, x, y, x // {_RADIUS} AS cx, y // {_RADIUS} AS cy FROM pts
@@ -182,8 +186,13 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition — one shuffle of B×partitions tiny rows; no resample
     ever re-reads or re-shuffles the data."""
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    rows = t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"), cents.alias("c")
+    # a deterministic resample draws multiplicities from md5(orderkey):
+    # a NULL key has no reproducible identity (and concat_ws vs concat
+    # hash different strings for it) — excluded on both sides.
+    rows = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(F.col("o_orderkey").alias("k"), cents.alias("c"))
     )
     b = F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b")
     drawn = rows.select("k", "c", b)
@@ -237,6 +246,7 @@ WITH rows_ AS (
     SELECT o_orderkey AS k,
            CAST(round(o_totalprice * 100) AS BIGINT) AS c
     FROM orders
+    WHERE o_orderkey IS NOT NULL
 ),
 drawn AS (
     SELECT k, c, b.b,

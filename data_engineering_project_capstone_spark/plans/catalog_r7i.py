@@ -42,9 +42,13 @@ _CC_ROUNDS = 10
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a NULL custkey has no synthetic position (md5(NULL) is NULL, and
+    # the oracle's '0x'||NULL cast would crash outright) — excluded on
+    # both sides. Caught by the degenerate-customer net's NULL-key row.
     x, y = _coords(F.col("c_custkey"))
     return (
         t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
         .select(F.col("c_custkey").alias("k"), x.alias("x"), y.alias("y"))
         .withColumn("cx", (F.col("x") / _RADIUS).cast("long"))
         .withColumn("cy", (F.col("y") / _RADIUS).cast("long"))
@@ -198,6 +202,7 @@ WITH pts AS MATERIALIZED (
            CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
                 16, 15)) AS BIGINT) % {_GRID} AS y
     FROM customer
+    WHERE c_custkey IS NOT NULL
 ),
 pairs AS MATERIALIZED (
     SELECT a.k AS ka, b.k AS kb,
@@ -286,6 +291,7 @@ WITH pts AS MATERIALIZED (
            CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
                 16, 15)) AS BIGINT) % {_GRID} AS y
     FROM customer
+    WHERE c_custkey IS NOT NULL
 ),
 pairs AS MATERIALIZED (
     SELECT a.k AS ka, b.k AS kb,

@@ -41,8 +41,11 @@ def _with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
+    # fold/bucket assignment hashes the orderkey: a NULL key has no
+    # reproducible fold — excluded on both sides (degenerate-orders net)
     return (
         t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
         .select(
             "o_orderkey",
             "o_custkey",
@@ -102,6 +105,7 @@ WITH rows_ AS (
            CAST(concat('0x', substring(md5(CAST(o.o_orderkey AS VARCHAR)),
                 1, 15)) AS BIGINT) % {_N_FOLDS} AS f
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NOT NULL
 ),
 per_gf AS (
     SELECT g, f, sum(cts) AS s_gf, count(*) AS n_gf
@@ -184,6 +188,7 @@ WITH rows_ AS (
            CAST(concat('0x', substring(md5(CAST(o.o_orderkey AS VARCHAR)),
                 1, 15)) AS BIGINT) % 10 AS b
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NOT NULL
 ),
 train AS (
     SELECT g, sum(cts) AS s_g, count(*) AS n_g

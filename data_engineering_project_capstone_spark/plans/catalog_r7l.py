@@ -157,6 +157,7 @@ WITH RECURSIVE pts AS MATERIALIZED (
            CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
                 16, 15)) AS BIGINT) % {_GRID} AS y
     FROM customer
+    WHERE c_custkey IS NOT NULL
 ),
 pairs AS MATERIALIZED (
     SELECT a.k AS ka, b.k AS kb,

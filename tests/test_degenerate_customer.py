@@ -41,6 +41,10 @@ DEGENERATE_CUSTOMERS = [
     (4, "delta four", 999, 123.45, "AUTOMOBILE"),  # dangling nationkey
     (5, "epsilon five", 2, 500.0, ""),  # empty segment
     (6, "alpha one", 3, 500.0, "HOUSEHOLD"),  # duplicate name
+    # r8 NULL-key probe: a keyless customer — order joins on custkey
+    # must drop it on BOTH engines; groupings by custkey keep it as its
+    # own NULL group identically
+    (None, "zeta ghost", 0, 10.0, "BUILDING"),
 ]
 
 

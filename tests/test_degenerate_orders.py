@@ -48,6 +48,12 @@ DEGENERATE_ORDERS = [
     (7, 3, "O", 10.0, _TS(2000, 1, 2), "2-HIGH"),
     (8, 2, "O", 20.0, _TS(2000, 1, 2, 12, 34, 56), "3-MEDIUM"),  # midday
     (9, 3, "P", 55.55, _TS(2000, 3, 15), "5-LOW"),  # gap month (no Feb)
+    # r8 NULL-key probes: an anonymous order (NULL custkey — customer
+    # joins must drop it on BOTH engines, never NPE or invent a group
+    # via a NULL-unsafe rejoin) and a keyless order (NULL orderkey —
+    # lineitem joins drop it; id-ordered ops must not give it a position)
+    (10, None, "O", 33.0, _TS(2000, 1, 3), "2-HIGH"),
+    (None, 2, "O", 44.0, _TS(2000, 1, 3), "3-MEDIUM"),
 ]
 
 
