@@ -135,7 +135,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids is ~1e-14 against a 1e-6 rounding grid). NULL vectors are
     excluded on both sides (ANN-family NULL policy,
     operators/similarity.py)."""
-    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # vec_id IS the point identity in the long-form layout: NULL ids
+    # would all merge into one pseudo-point in the per-point groupBys,
+    # and Spark's NULLS-FIRST seed order would even elect the NULL row a
+    # seed while DuckDB's NULLS-LAST never does — keyless vectors are
+    # excluded on both sides. Caught by the degenerate-embeddings net.
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
     pts = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -183,9 +190,10 @@ def _kmeans_sql() -> str:
 WITH pts AS (
     SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
     FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
-    WHERE embedding IS NOT NULL
+    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
 ), seeds AS (
-    SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+    SELECT vec_id FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
     ORDER BY vec_id LIMIT {_KM_K}
 ), cent0 AS (
     SELECT p.vec_id AS cid, pos, x AS cx FROM pts p JOIN seeds USING (vec_id)

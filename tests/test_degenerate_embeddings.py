@@ -58,6 +58,10 @@ DEGENERATE_EMB = [
     (5, _vec(5), 3),              # singleton label: block of one
     (6, _vec(6), 2),
     (7, [x * -1.0 for x in _vec(6)], 2),  # antipode (cos = -1)
+    # r8 NULL-key probe: a keyless vector — id-ordered pair joins must
+    # drop it on both engines (a.id < b.id is NULL-false), and any
+    # (score, id) ranking tiebreak must not diverge on NULL placement
+    (None, _vec(9), 1),
 ]
 
 
