@@ -342,7 +342,9 @@ def _uf(edges):
         max_size=40,
     ),
 )
-@settings(**SETTINGS)
+@settings(**{**SETTINGS, "max_examples": 10})  # each example is a full
+# 10-round distributed CC (~5s) — 10 random graphs is the wall-time
+# budget; the seeded test_clusters matrix keeps the fixed coverage
 def test_connected_components_matches_union_find(spark, edges):
     import warnings as _warnings
 
