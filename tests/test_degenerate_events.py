@@ -84,6 +84,12 @@ DEGENERATE_EVENTS = [
     (5, _ts(10), 2, "purchase", None, None),        # NULL value + props
     (6, _ts(10_000), 3, "solo", 6.0, '{"k": 5}'),   # single-event user, far future
     (7, _ts(11), 2, "weird_type", 7.0, "{}"),       # unanticipated type
+    # r8 NULL-key probes: a NULL event_type (type groupings/pivots and
+    # transition pairs must treat the NULL group identically — and a
+    # pivot must not silently invent or drop a "null" column) and a
+    # NULL event_id (id-ordered ties and id-keyed joins)
+    (8, _ts(12), 2, None, 8.0, "{}"),
+    (None, _ts(13), 3, "click", 9.0, "{}"),
 ]
 
 
