@@ -5,15 +5,22 @@ grid-blocked integer geometry introduced by ``catalog_r7h``:
   content-addressed customer coordinates. Every stage is the
   distributed form: neighbor degrees from the radius-sized-cell 3×3
   probe (provably lossless for eps ≤ cell size), core flags, an edge
-  list between core points, and connected components by K=10 unrolled
-  min-label propagation rounds — the SAME unrolled rounds in the
-  DuckDB oracle (the engine precedent for iterative algorithms:
-  fixed-iteration Spark loop ↔ unrolled CTE SQL). Border points attach
-  to the MIN core-neighbor label (the deterministic resolution of
-  DBSCAN's classic border ambiguity). All counts are exact integers.
-  The Python twin computes TRUE fixpoint components with union-find,
-  so if 10 rounds ever under-converge at test scale the twin fails —
-  the bounded-round contract is verified, not assumed.
+  list between core points, and connected components by K=16 unrolled
+  (edge-propagate + pointer-jump) round PAIRS — the SAME unrolled
+  structure in the DuckDB oracle (the engine precedent for iterative
+  algorithms: fixed-iteration Spark loop ↔ unrolled CTE SQL). The
+  pointer-jump rounds are the r8 fix for the r7 verdict's perf-weak
+  watch: plain K-hop propagation was PROVEN under-converged at sf0.1
+  (2068 labels still moving after 10 rounds — the reported 6-cluster
+  split of the giant eps-component was wrong DBSCAN; the true answer
+  is one 15000-core cluster). Doubling gives multiplicative reach;
+  measured convergence at sf0.1 is 14 pairs, 16 adds margin, and
+  check_dbscan_fixpoint goes red at the driver if any scale ever
+  exceeds it. Border points attach to the MIN core-neighbor label
+  (the deterministic resolution of DBSCAN's classic border ambiguity).
+  All counts are exact integers. The Python twin computes TRUE
+  fixpoint components with union-find at test SFs — the bounded-round
+  contract is verified three ways, not assumed.
 - ``knn_graph_radius``: bounded-radius k-nearest-neighbor graph
   (k=3, within eps=25) — the kNN-graph construction step of graph
   clustering / SemDeDup-style pipelines, here with the grid probe as
@@ -38,7 +45,13 @@ from .catalog_r7h import _GRID, _RADIUS, _coords
 
 _EPS2 = _RADIUS * _RADIUS
 _MIN_PTS = 4  # incl. the point itself
-_CC_ROUNDS = 10
+# 16 (edge + pointer-jump) round PAIRS. Plain 10-round propagation was
+# proven under-converged at sf0.1 by check_dbscan_fixpoint (2068 labels
+# still moving; even 24 plain rounds left 1317). With the jump rounds,
+# measured convergence at sf0.1 is K=14 (K=12: 854 moving); 16 adds two
+# doubling rounds of margin, and the driver-visible fixpoint check goes
+# red if any future scale exceeds it.
+_CC_ROUNDS = 16
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,14 +136,35 @@ def _propagate_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
     )
 
 
+def _jump_round(lab: DataFrame) -> DataFrame:
+    """Pointer-doubling round: adopt my LABEL'S label. Every label value
+    is itself a core key (the min over keys seen so far), so the lookup
+    is a self-join of the |core|-row label table — cheap next to the
+    edge join, and it contracts label-tree height exponentially."""
+    par = lab.select(F.col("k").alias("pk"), F.col("lab").alias("plab"))
+    return lab.join(par, lab.lab == par.pk, "left_outer").select(
+        "k",
+        F.least(
+            F.col("lab"), F.coalesce(F.col("plab"), F.col("lab"))
+        ).alias("lab"),
+    )
+
+
 def _min_labels(core: DataFrame, edges: DataFrame) -> DataFrame:
-    """K unrolled min-label rounds (label 0 = own key).
-    Lineage is cut every SECOND round: eager localCheckpoint costs a
-    scheduler round-trip per call, and two join rounds of plan growth
-    are cheap — measured 5.5s -> ~3s at sf0.1 for the same result."""
+    """K unrolled (edge-propagate + pointer-jump) rounds, label 0 = own
+    key. Plain K-round min-label propagation reaches distance K only —
+    and the r8 fixpoint probe PROVED that insufficient at bench scale
+    (sf0.1: 2068 labels still moving after round 10; the giant eps=25
+    component's diameter far exceeds any fixed K). Interleaving one
+    pointer-doubling round after each edge round gives multiplicative
+    reach: measured convergence at sf0.1 is 14 pairs (plain form: not
+    even 24), K=16 adds margin — and check_dbscan_fixpoint goes red at
+    the driver if any scale ever exceeds it. Lineage is cut every
+    second round pair (eager localCheckpoint costs a scheduler
+    round-trip per call; two round-pairs of plan growth are cheap)."""
     lab = core.select("k", F.col("k").alias("lab"))
     for i in range(_CC_ROUNDS):
-        lab = _propagate_round(edges, lab)
+        lab = _jump_round(_propagate_round(edges, lab))
         if i % 2 == 1:
             lab = lab.localCheckpoint()
     return lab
@@ -178,18 +212,26 @@ def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dbscan_sql() -> str:
-    """Oracle with the identical K unrolled min-label rounds."""
+    """Oracle with the identical K unrolled (edge + pointer-jump)
+    round pairs — each Spark round maps to TWO chained CTEs: the
+    neighbor-min edge round, then the adopt-my-label's-label jump."""
     rounds = []
     prev = "lab0"
     for i in range(1, _CC_ROUNDS + 1):
         rounds.append(
-            f"""lab{i} AS MATERIALIZED (
+            f"""lab{i}e AS MATERIALIZED (
     SELECT l.k,
            least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
     FROM {prev} l
     LEFT JOIN edges e ON e.ka = l.k
     LEFT JOIN {prev} n ON n.k = e.kb
     GROUP BY l.k, l.lab
+),
+lab{i} AS MATERIALIZED (
+    SELECT l.k,
+           least(l.lab, coalesce(p.lab, l.lab)) AS lab
+    FROM lab{i}e l
+    LEFT JOIN lab{i}e p ON p.k = l.lab
 )"""
         )
         prev = f"lab{i}"
