@@ -47,8 +47,13 @@ def connected_components(
     right mode when the graph is known to be shallow (near-dup graphs are
     stars/cliques that close in 2-3 rounds).
 
-    Min-label propagation moves a label ONE hop per iteration: a graph of
-    diameter d needs ~d iterations. If ``max_iterations`` is exhausted
+    Each iteration is an edge-propagation round (one hop) followed by a
+    pointer-doubling jump (adopt my label's label), so reach grows
+    multiplicatively rather than linearly in the iteration count — deep
+    chains that plain propagation could never finish inside a fixed
+    budget now converge in O(log-ish diameter) rounds (r8; the DBSCAN
+    fixpoint probe proved the plain form under-converges at bench
+    scale). If ``max_iterations`` is exhausted
     without a confirmed fixpoint (long paths/chains), ONE extra confirm
     round runs (so up to ``max_iterations + 1`` propagation rounds total
     with ``check_convergence``): an unchanged label sum proves the final
@@ -77,11 +82,34 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        return lbl.join(nbr_labels, lbl["id"] == nbr_labels["a"], "left").select(
+        stepped = lbl.join(
+            nbr_labels, lbl["id"] == nbr_labels["a"], "left"
+        ).select(
             "id",
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer-doubling jump: adopt my LABEL'S label. Every label is
+        # itself a node id (the min id seen so far), so this is a
+        # self-join of the label table — cheap next to the edge join,
+        # and it turns K rounds of 1-hop reach into multiplicative
+        # reach (r8: the DBSCAN fixpoint probe proved plain K-hop
+        # propagation under-converges on deep components; same physics
+        # here, so the same fix — the iteration budget now exhausts
+        # only on pathologically deep label trees, and the confirm
+        # round still catches exactly-at-budget convergence).
+        par = stepped.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        return stepped.join(
+            par, stepped["component"] == par["pid"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("pcomp"), F.col("component")),
             ).alias("component"),
         )
 

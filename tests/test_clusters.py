@@ -60,15 +60,18 @@ def test_chain_converges(spark):
 
 
 def test_long_path_exceeding_budget_warns_and_undermerges(spark):
-    """Diameter > max_iterations: must surface a RuntimeWarning, and the
-    partial labels are under-merged subsets (never a mix of two true
-    components)."""
+    """A budget too small for the diameter must surface a
+    RuntimeWarning, and the partial labels are under-merged subsets
+    (never a mix of two true components). With the r8 pointer-jump
+    rounds, reach per round is multiplicative — a 1-round budget on a
+    diameter-20 path reaches ~4 hops (1 edge + jump, then the confirm
+    round's extra pair), still far short of converged."""
     edges = [(i, i + 1) for i in range(20)]  # path 0-…-20, diameter 20
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     with pytest.warns(RuntimeWarning, match="under-merged"):
         got = {
             r["id"]: r["component"]
-            for r in connected_components(df, max_iterations=5).collect()
+            for r in connected_components(df, max_iterations=1).collect()
         }
     # every label must itself be a node of the (single) true component and
     # be ≤ the node id (min-label invariant) — subsets, not mixtures
