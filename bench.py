@@ -72,6 +72,10 @@ HEADLINE = [
     # on a real cluster the same rounds amortize over real data.
     "dbscan_customers",       # grid DBSCAN + bounded min-label CC
     "knn_graph_radius",       # bounded-radius kNN graph + top-k window
+    # r8 additions: the TPC-H-family closers (Q1 is THE classic
+    # scan-bound benchmark; Q2 is the heaviest of the adapted five)
+    "q1_pricing_summary",     # faithful Q1: scan + 4-key hash agg
+    "q2_min_cost_supplier",   # decorrelated min + tie join, dims bcast
 ]
 
 

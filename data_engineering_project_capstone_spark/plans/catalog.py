@@ -4326,6 +4326,10 @@ from .catalog_r7l import R7L_ENTRIES  # noqa: E402  (same deferred-import reason
 
 CATALOG.update(R7L_ENTRIES)
 
+from .catalog_r8 import R8_ENTRIES  # noqa: E402  (same deferred-import reason)
+
+CATALOG.update(R8_ENTRIES)
+
 # Round-5 driver window. The driver evaluates queries()[:50] in
 # registration order; COVERAGE.md maps every entry to the round that
 # proved it.
@@ -4665,9 +4669,14 @@ assert len(_DRIVER_WINDOW_R7) == 50, len(_DRIVER_WINDOW_R7)
 # hierarchy_share; catalog_r7g: roc_auc_eval, ewma_control,
 # bloom_prefilter_join; catalog_r7h: geo_grid_join, bootstrap_ci_mean,
 # psi_price_drift; catalog_r7j: target_encode_oof, conformal_interval;
-# catalog_r7k: trimmed_mean_price. 25 candidates + r8 registrations for
-# 50 slots: the whole queue fits, so r9 should clear it to zero and
-# backfill remaining slots with re-checks of the bench-timed heavies.
+# catalog_r7k: trimmed_mean_price — plus the 6 round-8 registrations
+# (catalog_r8: q1_pricing_summary, q2_min_cost_supplier,
+# q11_important_share, q12_priority_lateness, q16_supplier_part_counts,
+# q20_volume_share_suppliers — completing the 22-query TPC-H family;
+# check_dbscan_fixpoint, the round's other registration, is IN this
+# window, not queued). 31 candidates for 50 slots: the whole queue
+# fits, so r9 should clear it to zero and backfill remaining slots
+# with re-checks of the bench-timed heavies.
 _DRIVER_WINDOW_R8 = [
     # (a) round-6 stragglers, registration order r6d -> r6l
     "sample_weighted",

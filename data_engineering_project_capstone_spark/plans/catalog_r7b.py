@@ -2,8 +2,8 @@
 family begun in catalog_r6i (q5/q8/q10/q14/q15). The driver testdata
 omits partsupp, ship modes, comments, and receipt/commit dates, so
 queries needing them are ADAPTED (same operator shape, different
-predicate) and documented per entry; Q2/Q11/Q16/Q20 (partsupp-bound)
-are out of scope for this schema by data availability, not capability.
+predicate) and documented per entry; Q1/Q2/Q11/Q12/Q16/Q20 land in
+catalog_r8 (Q1 faithful, the rest adapted), completing all 22 shapes.
 
 - ``q3_unshipped_topk``   (Q3 shape): top-10 not-yet-shipped orders by
   open revenue (shippriority column absent — grouping key reduced).

@@ -109,6 +109,8 @@ def main() -> int:
     rc = 0
     for i, p in procs:
         out, _ = p.communicate()
+        with open(f"/tmp/pytest_shard_{i}.log", "w") as fh:
+            fh.write(out)  # full log for post-mortem (tail below)
         tail = "\n".join(out.strip().splitlines()[-3:])
         print(f"--- shard {i} (exit {p.returncode}) ---\n{tail}")
         if p.returncode not in (0, 5):  # 5 = no tests collected (empty -k)

@@ -54,6 +54,19 @@ DEGENERATE_LINEITEM = [
     # never sees
     (None, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS(2000, 7, 1)),
     (None, 4, 2, 2, 1.0, 20.0, 0.0, 0.0, "N", "O", _TS(2000, 7, 1)),
+    # r8 NULL-measure wave: every measure/dimension column nullable once.
+    # sum/min/avg skip NULLs identically on both engines, but derived
+    # expressions (units = cents*(100-disc)), NULL sort keys under
+    # LIMIT/windows (Spark NULLS FIRST vs DuckDB NULLS LAST), date
+    # functions over NULL, and count(*)-vs-count(col) denominators are
+    # exactly where cross-engine divergence hides.
+    (3, 5, 3, 1, None, 100.0, 0.02, 0.01, "N", "O", _TS(2000, 2, 2)),
+    (3, 6, 3, 2, 4.0, None, 0.02, 0.01, "A", "F", _TS(2000, 2, 2)),
+    (3, 7, 1, 3, 4.0, 200.0, None, 0.03, "R", "O", _TS(2000, 2, 3)),
+    (4, 1, 2, 1, 2.0, 300.0, 0.05, None, "N", "F", _TS(2000, 4, 9)),
+    (4, 2, 2, 2, 1.0, 50.0, 0.0, 0.0, None, None, _TS(2000, 4, 9)),
+    (5, 3, 3, 1, 3.0, 75.0, 0.01, 0.02, "N", "O", None),
+    (5, 4, 1, None, 2.0, 60.0, 0.03, 0.0, "A", "F", _TS(2000, 5, 5)),
 ]
 
 

@@ -58,6 +58,9 @@ ENTRIES = [
     # r7l: carry-forward fill + tolerance post-filter, recursive frontier
     "join_asof_tolerance",
     "recursive_reachability",
+    # r8: min-equality tie join + LIMIT-100 total order — the kept set
+    # must not depend on which partition saw a tying supplier first
+    "q2_min_cost_supplier",
 ]
 
 

@@ -418,3 +418,42 @@ def test_graph_triangles_aqe_recovers_broadcast_when_adj_small(spark):
         for ln in final.splitlines()
         if re.search(r"BroadcastHashJoin", ln)
     ), "intersection join did not convert to broadcast under AQE"
+
+
+def test_r8_q1_scan_bound_shape(spark):
+    """Q1 must keep the classic scan-bound shape: the shipdate filter
+    pushed to the parquet reader and a partial+final HashAggregate pair
+    (map-side combine carries the 100 TB case)."""
+    plan = formatted_plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters:"
+    )[1].splitlines()[0], "shipdate filter must reach the scan"
+    assert plan.count("HashAggregate") >= 2, "need partial+final agg"
+
+
+def test_r8_q2_dims_broadcast_fact_once(spark):
+    """Q2's supplier/nation/region/part dims must broadcast, the
+    lineitem fact must be scanned exactly once, and the correlated min
+    must decorrelate into a part-partitioned window (never a self-join
+    — a per-part min table is too big to broadcast at scale and an SMJ
+    back against the fact-sized pair set would double the shuffles)."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1, (
+        "fact must be scanned exactly once"
+    )
+    import re
+
+    w = [ln for ln in plan.splitlines() if re.search(r"\bWindow\b", ln)]
+    assert w and all("pk" in ln for ln in w), (
+        "per-part min must be a window PARTITIONED BY pk, never global"
+    )
+
+
+def test_r8_q16_exclusion_is_broadcast_anti(spark):
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "complained-supplier exclusion must be a broadcast anti-join"
+    )
+    assert "SortMergeJoin" not in plan
