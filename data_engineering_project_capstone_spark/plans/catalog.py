@@ -1007,11 +1007,19 @@ ORDER BY o_orderstatus
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer running order total ordered by date (cumulative window
-    aggregate — per-key sort, no global ordering)."""
+    aggregate — per-key sort, no global ordering). NULL sort keys are
+    pinned NULLS LAST explicitly: Spark windows default NULLS FIRST and
+    DuckDB NULLS LAST, so an undated order would silently shift every
+    running total in its partition cross-engine (degenerate-orders
+    NULL-measure net)."""
     orders = t(spark, sf_dir, "orders")
+    keys = [
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    ]
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -1019,7 +1027,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
         F.row_number().over(
-            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            Window.partitionBy("o_custkey").orderBy(*keys)
         ).cast("long").alias("order_seq"),
     )
 
@@ -1027,10 +1035,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
            ROWS UNBOUNDED PRECEDING), 2) AS running_total,
        CAST(row_number() OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
        ) AS BIGINT) AS order_seq
 FROM orders
 """
@@ -1211,9 +1221,13 @@ ORDER BY o_orderstatus, o_orderpriority
 
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead navigation: per-customer order-over-order price delta and
-    the next order's date."""
+    the next order's date. Sort keys pinned NULLS LAST on both engines
+    (see window_running_sum)."""
     orders = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     prev_price = F.lag("o_totalprice").over(w)
     return orders.select(
         "o_custkey",
@@ -1229,10 +1243,12 @@ WINDOW_LAG_LEAD_SQL = """
 SELECT o_custkey, o_orderkey,
        round(o_totalprice - COALESCE(
            lag(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
            ), 0.0), 2) AS price_delta,
        lead(o_orderdate) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
        ) AS next_order_date
 FROM orders
 """
@@ -3254,7 +3270,10 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(
+            F.col("o_orderdate").asc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_last(),
+        )
         .rowsBetween(-3, 0)
     )
     return orders.select(
@@ -3269,7 +3288,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_MOVING_AVG_SQL = f"""
 SELECT o_custkey, o_orderkey,
        round(avg({sql_ieee_round("o_totalprice")}) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
        ), 4) AS moving_avg
 FROM orders
@@ -3876,7 +3896,10 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     default frame ends at CURRENT ROW, which silently makes last_value ≡
     current row — in both engines). One shuffle on o_custkey."""
     orders = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         orders.select(
@@ -3903,8 +3926,10 @@ SELECT o_custkey, o_orderkey,
        {sql_ieee_round("last_value(o_totalprice) OVER w_full")} AS last_price,
        {sql_ieee_round("nth_value(o_totalprice, 2) OVER w_full")} AS second_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST),
+       w_full AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY o_custkey, o_orderkey
 """

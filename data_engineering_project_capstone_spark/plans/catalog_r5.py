@@ -719,8 +719,14 @@ def agg_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile(0.5) at 100 TB (agg_approx shows that path).
     """
     orders = t(spark, sf_dir, "orders")
-    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("c")
+    # NULL statuses are not mode candidates (engine-native mode() skips
+    # NULLs; keeping them would also make the c-tie break on a NULL sort
+    # key — Spark NULLS FIRST vs DuckDB NULLS LAST, caught by the
+    # degenerate-orders NULL-measure net)
+    counts = (
+        orders.filter(F.col("o_orderstatus").isNotNull())
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("c"))
     )
     rk = F.row_number().over(
         Window.partitionBy("o_orderpriority").orderBy(
@@ -746,7 +752,8 @@ def agg_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_MODES_SQL = f"""
 WITH counts AS (
     SELECT o_orderpriority, o_orderstatus, count(*) AS c
-    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderstatus IS NOT NULL
+    GROUP BY o_orderpriority, o_orderstatus
 ), mode_t AS (
     SELECT o_orderpriority, o_orderstatus AS mode_status
     FROM (

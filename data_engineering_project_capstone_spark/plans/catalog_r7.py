@@ -688,6 +688,11 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     this SF, DECIMAL(38) beyond. The cumulative window runs over DAYS."""
     daily = (
         t(spark, sf_dir, "orders")
+        # a dateless order has no position in a time series: the cumsum
+        # window and the peak tiebreak both order by d, where a NULL
+        # sorts FIRST on Spark and LAST on DuckDB (degenerate-orders
+        # NULL-measure net)
+        .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
@@ -732,7 +737,7 @@ CUSUM_DRIFT_SQL = f"""
 WITH daily AS (
     SELECT CAST(o_orderdate AS DATE) AS d,
            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
-    FROM orders GROUP BY 1
+    FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 stats AS (SELECT count(*) AS n, sum(cents) AS tot FROM daily),
 cum AS (

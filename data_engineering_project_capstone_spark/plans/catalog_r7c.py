@@ -50,8 +50,14 @@ def two_phase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded cumulative window locates each target's bucket, then a
     bucket-local rank finds the element. Ties collapse by value, so
     the result is partition-order independent."""
-    vals = t(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    # quantiles are over KNOWN values (percentile functions skip NULLs);
+    # an unfiltered NULL price would land in a NULL bucket that sorts
+    # FIRST in Spark's cumulative window and LAST in DuckDB's global
+    # rank, shifting every position (degenerate-orders NULL-measure net)
+    vals = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"))
     )
     vals = vals.localCheckpoint()  # feeds histogram + phase-2 probe
     hist = (
@@ -104,7 +110,8 @@ def two_phase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TWO_PHASE_QUANTILES_SQL = f"""
 WITH vals AS (
-    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice IS NOT NULL
 ),
 n AS (SELECT count(*) AS n FROM vals),
 targets AS (

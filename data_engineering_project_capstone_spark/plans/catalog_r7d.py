@@ -171,8 +171,18 @@ def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-wide composition, and a lag over the calendar-bounded month
     spine. Shares are exact integer ratios (cnt/total built from the
     same int64s on both engines)."""
+    # a dateless order has no month and a priority-less order is not
+    # part of the composition: both excluded on BOTH engines. Unfixed,
+    # a NULL month diverges in the lag's NULL sort placement, and a
+    # NULL priority becomes a real pivot column on Spark while the
+    # oracle's equality join silently drops it (degenerate-orders
+    # NULL-measure net).
     by_mp = (
         t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
         .groupBy(
             (
                 F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
@@ -223,7 +233,9 @@ WITH by_mp AS (
     SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT * 12
                + EXTRACT(MONTH FROM o_orderdate)::BIGINT - 1 AS m,
            o_orderpriority AS prio, count(*) AS cnt
-    FROM orders GROUP BY 1, 2
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+    GROUP BY 1, 2
 ),
 prios AS (
     SELECT prio, row_number() OVER (ORDER BY prio) - 1 AS i

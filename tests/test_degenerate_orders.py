@@ -54,6 +54,17 @@ DEGENERATE_ORDERS = [
     # lineitem joins drop it; id-ordered ops must not give it a position)
     (10, None, "O", 33.0, _TS(2000, 1, 3), "2-HIGH"),
     (None, 2, "O", 44.0, _TS(2000, 1, 3), "3-MEDIUM"),
+    # r8 NULL-measure wave (the key probes above cover NULL keys; these
+    # cover NULL values): NULL totalprice through revenue aggs and
+    # quantile/histogram paths, NULL orderdate through date windows,
+    # cohort months, streaks, and any date sort (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST is the classic divergence), NULL priority
+    # through CASE-IN pivots (must land in ELSE on both engines), and
+    # NULL status through group-bys (a real group, kept identically).
+    (11, 3, "O", None, _TS(2000, 2, 7), "4-NOT SPECIFIED"),
+    (12, 1, None, 66.0, _TS(2000, 2, 8), "5-LOW"),
+    (13, 2, "F", 77.0, None, "1-URGENT"),
+    (14, 3, "O", 88.0, _TS(2000, 2, 9), None),
 ]
 
 

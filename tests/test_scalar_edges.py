@@ -85,3 +85,33 @@ def test_left_join_unmatched_null_payload(spark):
         for r in left.join(right, ["city", "month"], "left").collect()
     }
     assert out["a"] == 20.0 and out["b"] is None
+
+
+def test_round_half_parity_with_duckdb(spark):
+    """The money idiom pairs Spark F.round(x*100, 0) with DuckDB
+    round(x*100) in every oracle. Both are round-half-AWAY-FROM-ZERO
+    for doubles, but that claim is load-bearing across ~200 oracles, so
+    pin it on inputs whose scaled value is EXACTLY representable as
+    .5 in binary (2^-3 multiples) — the only place a HALF_UP vs
+    HALF_EVEN divergence could ever show. Includes negatives (acctbal
+    paths) and whole-number quantities through round(q)."""
+    import duckdb
+
+    vals = [128.125, 0.125, 0.625, 3.375, -0.125, -128.125, 2.5, -2.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        (r["c"], r["q"])
+        for r in df.select(
+            F.round(F.col("x") * 100, 0).cast("long").alias("c"),
+            F.round(F.col("x"), 0).cast("long").alias("q"),
+        ).collect()
+    ]
+    got_duck = duckdb.sql(
+        "SELECT CAST(round(x * 100) AS BIGINT), CAST(round(x) AS BIGINT) "
+        "FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        params=[vals],
+    ).fetchall()
+    assert got_spark == [tuple(r) for r in got_duck]
+    # and the specific away-from-zero expectations, so a future engine
+    # change fails loudly with the right message
+    assert got_spark[0][0] == 12813 and got_spark[4][0] == -13
