@@ -45,6 +45,15 @@ DEGENERATE_CUSTOMERS = [
     # must drop it on BOTH engines; groupings by custkey keep it as its
     # own NULL group identically
     (None, "zeta ghost", 0, 10.0, "BUILDING"),
+    # r8 NULL-measure wave: NULL name (ER blocking, fuzzy pairs, string
+    # splits, any name sort/tiebreak — Spark NULLS FIRST vs DuckDB
+    # NULLS LAST), NULL segment (a real group, kept identically; CASE
+    # and pivot paths must not invent or drop it), NULL nationkey
+    # (nation joins drop it on BOTH engines — distinct from key 999,
+    # which joins to nothing but sorts as a value).
+    (7, None, 1, 42.0, "MACHINERY"),
+    (8, "eta eight", 2, 77.0, None),
+    (9, "theta nine", None, 88.0, "AUTOMOBILE"),
 ]
 
 

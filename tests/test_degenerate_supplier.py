@@ -36,6 +36,11 @@ DEGENERATE_SUPPLIERS = [
     (1, "", 999, None),  # empty name, dangling nationkey, NULL balance
     (2, "Supplier#000000000", 1, -500.0),  # duplicate name, negative
     (3, "acme", None, 0.0),  # NULL nationkey, zero balance
+    # r8 NULL-measure probe: NULL name — distinct from the empty string
+    # above for sorts (Spark NULLS FIRST vs DuckDB NULLS LAST), LIKE
+    # predicates (not-true, dropped identically), and group-bys (a real
+    # group, kept identically)
+    (4, None, 2, 250.0),
 ]
 
 
