@@ -78,8 +78,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     disc = F.round(F.col("l_discount") * 100, 0).cast("long")
     tax = F.round(F.col("l_tax") * 100, 0).cast("long")
-    disc_u = cents * (F.lit(100) - disc)  # 10^-4 dollars
-    charge_u = (disc_u * (F.lit(100) + tax)).cast("decimal(38,0)")
+    # disc units (10^-4 dollars, ≤1e9/row) and charge units (10^-6,
+    # ≤1e11/row) both overflow an int64 fold at a ~100 TB row count, so
+    # both sum as DECIMAL(38,0) — DuckDB's integer sums are HUGEINT
+    # already. cents (≤1e7/row) and qty (≤50/row) keep int64 headroom
+    # past 1e11 rows.
+    disc_u = (cents * (F.lit(100) - disc)).cast("decimal(38,0)")
+    charge_u = (
+        cents * (F.lit(100) - disc) * (F.lit(100) + tax)
+    ).cast("decimal(38,0)")
     g = (
         t(spark, sf_dir, "lineitem")
         .filter(F.to_date("l_shipdate") <= F.lit(_Q1_CUT))
@@ -154,11 +161,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: for every part of one type, the region's suppliers
     achieving the minimum observed unit price (ties kept, as in the
     classic). Scale: the per-(part,supplier) min is one partial+final
-    agg on the fact; supplier/nation/region/part dims all broadcast;
-    the correlated min decorrelates into a min() window PARTITIONED BY
-    part — partition-local after one hash exchange, no self-join, no
-    rescan, and safe however many parts exist (a broadcast of a
-    per-part min table would not be). Unit price = exact cents /
+    agg on the fact; the constant nation/region dims carry the only
+    broadcast hints — the supplier set and the type-filtered part slice
+    grow with SF, so their joins are left to statistics + AQE
+    (broadcast at test scale, plan-asserted; shuffle when genuinely
+    large); the correlated min decorrelates into a min() window
+    PARTITIONED BY part — partition-local after one hash exchange, no
+    self-join, no rescan, and safe however many parts exist (a
+    broadcast of a per-part min table would not be). Unit price = exact cents /
     quantity, a single IEEE division of bit-identical operands, so
     min() and the equality filter agree across engines exactly; rows
     with non-positive quantity carry no defined unit price and are
@@ -190,12 +200,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eur = ps.join(F.broadcast(sup), F.col("sk") == F.col("s_suppkey")).join(
-        F.broadcast(
-            t(spark, sf_dir, "part")
-            .filter(F.col("p_type") == _Q2_TYPE)
-            .select("p_partkey", "p_name")
-        ),
+    # no broadcast hints on the supplier set or the type-filtered part
+    # slice: both grow with SF (the module docstring's own argument
+    # against broadcasting a parts-sized table), so the join strategy is
+    # left to statistics + AQE — at test SFs both sides are far under
+    # the 10 MB threshold and broadcast anyway (plan-asserted); at 100 TB
+    # they shuffle on their keys. Only the constant-size nation/region
+    # dims above carry explicit hints.
+    eur = ps.join(sup, F.col("sk") == F.col("s_suppkey")).join(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q2_TYPE)
+        .select("p_partkey", "p_name"),
         F.col("pk") == F.col("p_partkey"),
     )
     from pyspark.sql import Window
@@ -215,7 +230,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(
             F.col("s_acctbal").desc_nulls_last(),
-            "s_name",
+            F.col("s_name").asc_nulls_last(),
             "p_partkey",
             "s_suppkey",
         )
@@ -249,7 +264,7 @@ SELECT {sql_ieee_round('s_acctbal', 2)} AS s_acctbal,
        CAST(sk AS BIGINT) AS s_suppkey,
        {sql_ieee_round('cost', 4)} AS supply_cost
 FROM w WHERE cost = mc
-ORDER BY s_acctbal DESC NULLS LAST, s_name, p_partkey, s_suppkey
+ORDER BY s_acctbal DESC NULLS LAST, s_name NULLS LAST, p_partkey, s_suppkey
 LIMIT {_Q2_K}
 """
 
@@ -265,11 +280,14 @@ _Q11_FRAC_DEN = 1000  # keep parts whose value > total / 1000
 def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: per-part value for one supplier nation, keeping parts
     whose value exceeds FRACTION of the nation total (the HAVING >
-    scalar-subquery query). Scale: nation+supplier dims broadcast into
-    the fact scan, one partial+final agg per part, a 1-row broadcast
-    for the total, and an exact integer cross-multiplication for the
-    threshold — DECIMAL(38,0)·1000 on the Spark side vs DuckDB's
-    HUGEINT, so no float threshold and no BIGINT overflow at any SF."""
+    scalar-subquery query). Scale: the constant nation dim carries the
+    only broadcast hint; the one-nation supplier key set grows with SF,
+    so its join is left to statistics + AQE (broadcast at test scale,
+    shuffle when genuinely large); one partial+final agg per part, a
+    1-row broadcast for the total, and an exact integer
+    cross-multiplication for the threshold — DECIMAL(38,0)·1000 on the
+    Spark side vs DuckDB's HUGEINT, so no float threshold and no BIGINT
+    overflow at any SF."""
     sup = (
         t(spark, sf_dir, "supplier")
         .join(
@@ -284,7 +302,7 @@ def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = (
         t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_units()).alias("v"))
     )
@@ -408,9 +426,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers (negative balance — NOT EXISTS, matching the anti-join;
     NOT IN would drop every group if the exclusion list ever held a
     NULL key). Scale: the pair set is one partial+final distinct on
-    the fact, the exclusion is a broadcast anti-join, part broadcasts,
-    and the distinct count is a two-phase agg. NULL attribute rows
-    vanish under the same not-true predicates on both engines."""
+    the fact and the distinct count is a two-phase agg; the excluded-
+    supplier set and the attribute-filtered part slice both grow with
+    SF, so their joins carry NO broadcast hint — statistics + AQE
+    broadcast them while they fit (plan-asserted at test scale) and
+    shuffle them when they don't. NULL attribute rows vanish under the
+    same not-true predicates on both engines."""
     pairs = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
@@ -419,17 +440,15 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     excl = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
         pairs.join(
-            F.broadcast(excl.select("s_suppkey")),
+            excl.select("s_suppkey"),
             F.col("sk") == F.col("s_suppkey"),
             "left_anti",
         )
         .join(
-            F.broadcast(
-                t(spark, sf_dir, "part").filter(
-                    (F.col("p_brand") != _Q16_EXCL_BRAND)
-                    & ~F.col("p_type").startswith(_Q16_EXCL_TYPE_PREFIX)
-                    & F.col("p_size").isin(*_Q16_SIZES)
-                )
+            t(spark, sf_dir, "part").filter(
+                (F.col("p_brand") != _Q16_EXCL_BRAND)
+                & ~F.col("p_type").startswith(_Q16_EXCL_TYPE_PREFIX)
+                & F.col("p_size").isin(*_Q16_SIZES)
             ),
             F.col("pk") == F.col("p_partkey"),
         )
@@ -480,19 +499,20 @@ def q20_volume_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one year — the classic's nested IN subqueries decorrelated into a
     per-(part,supplier) agg joined to a per-part rollup, with the half
     threshold as an exact 2·q_ps > q_p integer compare. Scale: year +
-    name-prefix filters push to the scans, part and supplier dims
-    broadcast, the fact aggregates once; the final output is the
-    distinct qualifying supplier set (small), totally ordered by key."""
+    name-prefix filters push to the scans; the name-filtered part slice
+    and the one-nation supplier set grow with SF, so their joins carry
+    no broadcast hint (statistics + AQE broadcast while small, shuffle
+    when large — only the constant nation dim is hinted); the fact
+    aggregates once; the final output is the distinct qualifying
+    supplier set (small), totally ordered by key."""
     qty = F.round(F.col("l_quantity"), 0).cast("long")
     li = (
         t(spark, sf_dir, "lineitem")
         .filter(F.year(F.to_date("l_shipdate")) == _Q20_YEAR)
         .join(
-            F.broadcast(
-                t(spark, sf_dir, "part")
-                .filter(F.col("p_name").startswith(_Q20_NAME_PREFIX))
-                .select("p_partkey")
-            ),
+            t(spark, sf_dir, "part")
+            .filter(F.col("p_name").startswith(_Q20_NAME_PREFIX))
+            .select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
     )
@@ -518,7 +538,7 @@ def q20_volume_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_ps.join(per_p, F.col("pk") == F.col("ppk"))
         .filter(F.col("q_ps") * 2 > F.col("q_p"))
-        .join(F.broadcast(nat_sup), F.col("sk") == F.col("s_suppkey"))
+        .join(nat_sup, F.col("sk") == F.col("s_suppkey"))
         .select(F.col("sk").cast("long").alias("s_suppkey"), "s_name")
         .distinct()
         .orderBy("s_suppkey")

@@ -31,6 +31,16 @@ from data_engineering_project_capstone_spark.plans.catalog_r8 import (
 SF = "/root/testdata/sf0.001"
 
 
+def _r(x: float) -> int:
+    """Round half AWAY from zero — what BOTH engines do for doubles
+    (pinned by test_scalar_edges::test_round_half_parity_with_duckdb).
+    Python's round() is banker's (HALF_EVEN) and would diverge from
+    both engines on exactly-representable .5 inputs like 128.125·100."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def _li(spark):
     return [
         (
@@ -39,8 +49,8 @@ def _li(spark):
             r["l_suppkey"],
             r["l_quantity"],
             r["l_extendedprice"],
-            round(r["l_discount"] * 100),
-            round(r["l_tax"] * 100),
+            _r(r["l_discount"] * 100),
+            _r(r["l_tax"] * 100),
             r["l_returnflag"],
             r["l_linestatus"],
             r["l_shipdate"].date(),
@@ -76,16 +86,25 @@ def _dims(spark):
 
 def test_q1_pricing_summary_matches_bruteforce(spark):
     import datetime as dt
+    import math
+
+    def ieee(x: float, scale: int = 2) -> float:
+        # the exact readout op both engine forms apply (floor(x·m+0.5)/m
+        # on IEEE doubles) — Python doubles run the identical ops, so
+        # every derived column is asserted EXACTLY equal, not within a
+        # tolerance that could hide a sub-50-cent fold bug
+        m = float(10**scale)
+        return math.floor(x * m + 0.5) / m
 
     cut = dt.date.fromisoformat(_Q1_CUT)
     acc: dict[tuple, list] = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
     for ok, pk, sk, qty, price, disc, tax, rf, ls, ship in _li(spark):
         if ship > cut:
             continue
-        cents = round(price * 100)
+        cents = _r(price * 100)
         du = cents * (100 - disc)
         a = acc[(rf, ls)]
-        a[0] += round(qty)
+        a[0] += _r(qty)
         a[1] += cents
         a[2] += du
         a[3] += du * (100 + tax)
@@ -97,14 +116,13 @@ def test_q1_pricing_summary_matches_bruteforce(spark):
         a = acc[(r["l_returnflag"], r["l_linestatus"])]
         assert r["sum_qty"] == a[0]
         assert r["count_order"] == a[5]
-        # derived doubles: same op sequence as both engine forms
-        for got, want in [
-            (r["sum_base_price"], a[1] / 100.0),
-            (r["sum_disc_price"], a[2] / 10000.0),
-            (r["sum_charge"], a[3] / 1000000.0),
-            (r["avg_qty"], a[0] / a[5]),
-        ]:
-            assert abs(got - want) < 0.5 + 1e-9 * abs(want)
+        n = a[5]
+        assert r["sum_base_price"] == ieee(a[1] / 100.0)
+        assert r["sum_disc_price"] == ieee(a[2] / 10000.0)
+        assert r["sum_charge"] == ieee(a[3] / 1000000.0)
+        assert r["avg_qty"] == ieee(a[0] / n)
+        assert r["avg_price"] == ieee(a[1] / 100.0 / n)
+        assert r["avg_disc"] == ieee(a[4] / 100.0 / n, 4)
 
 
 def test_q2_rows_are_regional_minima(spark):
@@ -119,7 +137,7 @@ def test_q2_rows_are_regional_minima(spark):
         nk = supplier[sk][1]
         if nk not in nation or region.get(nation[nk][1]) != _Q2_REGION:
             continue
-        c = round(price * 100) / qty
+        c = _r(price * 100) / qty
         k = (pk, sk)
         cost[k] = min(cost.get(k, c), c)
     per_part_min: dict[int, float] = {}
@@ -146,7 +164,7 @@ def test_q11_threshold_is_exact(spark):
     per_part: dict[int, int] = defaultdict(int)
     for ok, pk, sk, qty, price, disc, *_ in _li(spark):
         if sk in scope:
-            per_part[pk] += round(price * 100) * (100 - disc)
+            per_part[pk] += _r(price * 100) * (100 - disc)
     tot = sum(per_part.values())
     want = {pk for pk, v in per_part.items() if v * _Q11_FRAC_DEN > tot}
     got = {
@@ -222,7 +240,7 @@ def test_q20_half_volume_set(spark):
         name = part[pk][0]
         if name is None or not name.startswith(_Q20_NAME_PREFIX):
             continue
-        per_ps[(pk, sk)] += round(qty)
+        per_ps[(pk, sk)] += _r(qty)
     per_p: dict[int, int] = defaultdict(int)
     for (pk, sk), q in per_ps.items():
         per_p[pk] += q
