@@ -100,7 +100,10 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum("units").alias("_u"))
+        # ≤25 output groups at ANY SF: a 100 TB fact puts ~2.4e10 rows
+        # of ≤1.1e11-unit summands into one nation — past int64. Sum as
+        # DECIMAL(38,0); the oracle's HUGEINT is already exact.
+        .agg(F.sum(F.col("units").cast("decimal(38,0)")).alias("_u"))
         .select(
             "n_name", ieee_round(F.col("_u") / 10000.0, 2).alias("revenue")
         )
@@ -175,16 +178,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
+        # bounded year count → DECIMAL(38,0) sums (see q5); the share
+        # divides through explicit double casts, mirroring the oracle's
+        # hugeint→double conversions (decimal/decimal would be DECIMAL
+        # division — a different op than DuckDB's)
         .agg(
             F.sum(
                 F.when(F.col("supp_nation") == _Q8_NATION, F.col("units"))
                 .otherwise(F.lit(0))
+                .cast("decimal(38,0)")
             ).alias("_num"),
-            F.sum("units").alias("_den"),
+            F.sum(F.col("units").cast("decimal(38,0)")).alias("_den"),
         )
         .select(
             F.col("o_year").cast("int").alias("o_year"),
-            ieee_round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
+            ieee_round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -306,16 +316,21 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
+            # 1-row global fold → DECIMAL(38,0) (see q5's headroom note)
             F.sum(
                 F.when(F.col("p_type") == "PROMO", F.col("units"))
                 .otherwise(F.lit(0))
+                .cast("decimal(38,0)")
             ).alias("_num"),
-            F.sum("units").alias("_den"),
+            F.sum(F.col("units").cast("decimal(38,0)")).alias("_den"),
         )
         .select(
-            ieee_round(F.lit(100.0) * F.col("_num") / F.col("_den"), 6).alias(
-                "promo_pct"
-            )
+            ieee_round(
+                F.lit(100.0)
+                * F.col("_num").cast("double")
+                / F.col("_den").cast("double"),
+                6,
+            ).alias("promo_pct")
         )
     )
 

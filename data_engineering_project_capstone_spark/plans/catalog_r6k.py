@@ -239,17 +239,20 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_units()).alias("u"))
     )
     w = Window.orderBy(F.desc("u"), F.col("l_partkey"))
+    # per-part u keeps int64 (group size is SF-constant), but the
+    # running sum approaches the GLOBAL revenue → DECIMAL(38,0)
     ranked = per_part.select(
         "u",
         F.row_number().over(w).alias("rnk"),
-        F.sum("u").over(
+        F.sum(F.col("u").cast("decimal(38,0)")).over(
             Window.orderBy(F.desc("u"), F.col("l_partkey")).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
         ).alias("cum_u"),
     )
     n_tot = per_part.agg(
-        F.count("*").alias("n"), F.sum("u").alias("tot_u")
+        F.count("*").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("tot_u"),
     )
     # decile spine → integer ceil-rank targets, joined to the ranked agg
     targets = (
@@ -268,7 +271,10 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "decile",
             F.col("rnk").cast("long").alias("n_parts"),
-            ieee_round(F.col("cum_u") / F.col("tot_u"), 6).alias("cum_share"),
+            ieee_round(
+                F.col("cum_u").cast("double") / F.col("tot_u").cast("double"),
+                6,
+            ).alias("cum_share"),
         )
         .orderBy("decile")
     )

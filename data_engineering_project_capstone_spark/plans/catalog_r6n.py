@@ -134,9 +134,16 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("u"), F.col("l_partkey")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = per_part.agg(F.sum("u").alias("tot_u"))
+    # per-part u keeps int64; the running sum and the total approach
+    # GLOBAL revenue → DECIMAL(38,0) (class compares stay exact integer
+    # arithmetic; DuckDB's side is HUGEINT already)
+    tot = per_part.agg(
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("tot_u")
+    )
     classed = (
-        per_part.withColumn("cum_u", F.sum("u").over(w))
+        per_part.withColumn(
+            "cum_u", F.sum(F.col("u").cast("decimal(38,0)")).over(w)
+        )
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "abc_class",
@@ -149,13 +156,15 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         classed.groupBy("abc_class")
         .agg(
             F.count("*").cast("long").alias("n_parts"),
-            F.sum("u").alias("_cu"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("_cu"),
             F.max("tot_u").alias("_tu"),
         )
         .select(
             "abc_class",
             "n_parts",
-            ieee_round(F.col("_cu") / F.col("_tu"), 6).alias("revenue_share"),
+            ieee_round(
+                F.col("_cu").cast("double") / F.col("_tu").cast("double"), 6
+            ).alias("revenue_share"),
         )
         .orderBy("abc_class")
     )

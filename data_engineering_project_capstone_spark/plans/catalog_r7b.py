@@ -265,7 +265,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(_units()).alias("_u"))
+        # nation-pair × year groups are SF-bounded → DECIMAL(38,0) fold
+        # (int64 overflows at ~10^7 units-scale rows per group)
+        .agg(F.sum(_units().cast("decimal(38,0)")).alias("_u"))
         .select(
             "supp_nation",
             "cust_nation",
@@ -347,9 +349,13 @@ def q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy(F.col("n_name").alias("nation"), "o_year")
+        # nation × year groups are SF-bounded → DECIMAL(38,0) fold of
+        # the (possibly negative) per-line profit
         .agg(
             F.sum(
-                F.col("units") - F.col("retail_c") * F.col("qty") * 100
+                (
+                    F.col("units") - F.col("retail_c") * F.col("qty") * 100
+                ).cast("decimal(38,0)")
             ).alias("_p")
         )
         .select(
@@ -609,7 +615,11 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(full_pred)
         .agg(
             F.count("*").cast("long").alias("n_lines"),
-            F.coalesce(F.sum("units"), F.lit(0)).alias("_u"),
+            # 1-row global fold → DECIMAL(38,0)
+            F.coalesce(
+                F.sum(F.col("units").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_u"),
         )
         .select(
             "n_lines",
