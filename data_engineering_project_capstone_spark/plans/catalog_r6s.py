@@ -48,11 +48,19 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
-        F.sum(F.col("i") * F.col("cents")).alias("si"),
+        # Σ i·cents is n²-scale (rank × global-ish cents): int64 dies
+        # just past sf1; the OPERAND cast to DECIMAL(38,0) keeps even
+        # the per-row product exact, matching the oracle's HUGEINT cast
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias(
+            "si"
+        ),
     )
-    gini = (2.0 * F.col("si")) / (F.col("n") * F.col("s")) - (
-        F.col("n") + 1.0
-    ) / F.col("n")
+    # n·s also outgrows int64; the exact product forms in DECIMAL and
+    # converts to double at the division, exactly like DuckDB's
+    # hugeint → double conversion
+    gini = (2.0 * F.col("si")) / (
+        F.col("n").cast("decimal(38,0)") * F.col("s")
+    ) - (F.col("n") + 1.0) / F.col("n")
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         ieee_round(F.col("s") / 100.0, 2).alias("total_spend"),
@@ -72,7 +80,10 @@ ranked AS (
     FROM per_cust
 ),
 agg AS (
-    SELECT count(*) AS n, sum(cents) AS s, sum(i * cents) AS si FROM ranked
+    SELECT count(*) AS n, sum(cents) AS s,
+           -- HUGEINT operand: a BIGINT rank·cents product errors at scale
+           sum(CAST(i AS HUGEINT) * cents) AS si
+    FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_customers,
        {sql_ieee_round("s / 100.0", 2)} AS total_spend,

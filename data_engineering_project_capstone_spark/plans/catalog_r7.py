@@ -193,20 +193,33 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").alias("na"),
         F.sum(F.col("tv") - F.col("ca")).alias("nb"),
         F.sum("tv").alias("nn"),
-        F.sum(F.col("ca") * F.col("dr")).alias("dra"),
+        # Σ ca·dr is ~2n²-scale and Σ(t³−t) is n³-scale in the worst
+        # (all-tied) case — the OPERAND casts to DECIMAL(38,0) so even
+        # the per-row product cannot wrap, matching the oracle's
+        # HUGEINT-cast operands; int64 dies at ~10⁶-10⁹ rows
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("dr")).alias(
+            "dra"
+        ),
         F.sum(
-            F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")
+            F.col("tv").cast("decimal(38,0)")
+            * F.col("tv")
+            * F.col("tv")
+            - F.col("tv")
         ).alias("ties"),
     )
     na, nb, nn = F.col("na"), F.col("nb"), F.col("nn")
-    u = F.col("dra") / 2.0 - na * (na + 1) / 2.0
+    # na·(na+1) and na·nb outgrow int64 — form the exact products in
+    # DECIMAL and let the double-literal divisions convert, mirroring
+    # DuckDB's hugeint products converted at the division
+    na_d = na.cast("decimal(38,0)")
+    u = F.col("dra") / 2.0 - na_d * (na + 1) / 2.0
     var = (
-        na
+        na_d
         * nb
         / 12.0
         * ((nn + 1) - F.col("ties") / (nn * (nn - 1.0)))
     )
-    z = F.when(var > 0, (u - na * nb / 2.0) / F.sqrt(var))
+    z = F.when(var > 0, (u - na_d * nb / 2.0) / F.sqrt(var))
     return agg.select(
         na.cast("long").alias("n_building"),
         nb.cast("long").alias("n_other"),
@@ -232,7 +245,8 @@ ranked AS (
 agg AS (
     SELECT sum(ca) AS na, sum(tv - ca) AS nb, sum(tv) AS nn,
            sum(ca * dr) AS dra,
-           sum(tv * tv * tv - tv) AS ties
+           -- HUGEINT operand: a BIGINT tv^3 errors past tv ~ 2e6
+           sum(CAST(tv AS HUGEINT) * tv * tv - tv) AS ties
     FROM ranked
 )
 SELECT CAST(na AS BIGINT) AS n_building,
@@ -252,11 +266,13 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     with average ranks for ties (the exact tie-aware definition, not
     the 6Σd² shortcut which is only valid tie-free).
 
-    Both variables get doubled average ranks (exact int64) via a
+    Both variables get doubled average ranks (exact integers) via a
     cumulative window over their own DISTINCT value tables, joined
     back; rho is Pearson on the doubled ranks (scale-invariant), all
-    sums exact integers. Int64 headroom: Σdx·dy ≤ n·(2n)² = 4n³ —
-    fine through ~10⁶ customers, DECIMAL(38) beyond."""
+    sums exact. The moment folds are DECIMAL(38,0) (Σdx·dy ≤ 4n³ and
+    the n·Σ−Σ·Σ forms reach 4n⁴, past int64 at ~10⁶ customers) — the
+    oracle's HUGEINT window sums promote identically, so both engines
+    share one exactness envelope saturating near n ≈ 10⁹."""
     per_cust = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -282,13 +298,21 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.join(
         F.broadcast(doubled_ranks(per_cust, "x")), "x"
     ).join(F.broadcast(doubled_ranks(per_cust, "y")), "y")
+    # doubled ranks reach 2n+1, so the per-row squares/products are
+    # 4n²-scale and the moment sums 4n³-scale — OPERAND-cast to
+    # DECIMAL(38,0) (the oracle's dr is already HUGEINT: its window
+    # sum promotes). The n·Σ − Σ·Σ second-moment forms reach 4n⁴: both
+    # engines' 128-bit arithmetic saturates together near n ≈ 10⁹ —
+    # the shared exactness envelope, up from int64's ~10⁶.
+    dx = F.col("dr_x").cast("decimal(38,0)")
+    dy = F.col("dr_y").cast("decimal(38,0)")
     agg = ranked.agg(
         F.count("*").alias("n"),
-        F.sum("dr_x").alias("sx"),
-        F.sum("dr_y").alias("sy"),
-        F.sum(F.col("dr_x") * F.col("dr_x")).alias("sxx"),
-        F.sum(F.col("dr_y") * F.col("dr_y")).alias("syy"),
-        F.sum(F.col("dr_x") * F.col("dr_y")).alias("sxy"),
+        F.sum(dx).alias("sx"),  # Σdr is itself 2n²-scale
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
     )
     n = F.col("n")
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -610,10 +634,13 @@ def orders_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("x"))
     )
     daily = daily.localCheckpoint()  # feeds stats + both join sides
+    # daily counts x reach rows/2400 days (~6e8 at 100 TB): x² and the
+    # n²·Σ / Σ·Σ moment forms outgrow int64 → DECIMAL(38,0) operands,
+    # matching the oracle's HUGEINT window/aggregate promotions
     stats = daily.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
     )
     lagged = daily.select(
         "d",
@@ -627,21 +654,28 @@ def orders_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_lag = pairs.groupBy("lag").agg(
         F.count("*").alias("np"),
-        F.sum(F.col("xt") * F.col("xl")).alias("sxy"),
+        F.sum(F.col("xt").cast("decimal(38,0)") * F.col("xl")).alias("sxy"),
         F.sum("xt").alias("sxt"),
         F.sum("xl").alias("sxl"),
     )
-    n, s = F.col("n"), F.col("s")
-    num = n * n * F.col("sxy") - n * s * (F.col("sxt") + F.col("sxl")) + F.col(
-        "np"
-    ) * s * s
-    den = n * (n * F.col("s2") - s * s)
+    n = F.col("n")
+    s_d = F.col("s").cast("decimal(38,0)")
+    num = n * n * F.col("sxy") - n * s_d * (
+        F.col("sxt") + F.col("sxl")
+    ) + F.col("np") * s_d * s_d
+    den = n * (n * F.col("s2") - s_d * s_d)
     return (
         per_lag.crossJoin(F.broadcast(stats))
         .select(
             F.col("lag").cast("long").alias("lag"),
             F.col("np").cast("long").alias("n_pairs"),
-            ieee_round(F.when(den > 0, num / den), 6).alias("acf"),
+            # double casts mirror the oracle's hugeint→double division
+            ieee_round(
+                F.when(
+                    den > 0, num.cast("double") / den.cast("double")
+                ),
+                6,
+            ).alias("acf"),
         )
         .orderBy("lag")
     )
@@ -716,9 +750,13 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n",
             "d",
-            (F.col("n") * F.col("cum") - F.col("i") * F.col("tot")).alias(
-                "sn"
-            ),
+            # n·cum reaches days × global cents ≈ 2.4e3 · 1.5e18 at
+            # 100 TB — past int64; DECIMAL(38,0) operands match the
+            # oracle's HUGEINT products
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("cum")
+                - F.col("i").cast("decimal(38,0)") * F.col("tot")
+            ).alias("sn"),
         )
         .orderBy(F.abs(F.col("sn")).desc(), "d")
         .limit(1)
@@ -726,9 +764,10 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exc.select(
         F.col("n").cast("long").alias("n_days"),
         F.col("d").alias("peak_date"),
-        ieee_round(F.abs(F.col("sn")) / F.col("n") / 100.0, 2).alias(
-            "max_excursion"
-        ),
+        # cast mirrors the oracle's abs(sn)·1.0 hugeint→double step
+        ieee_round(
+            F.abs(F.col("sn")).cast("double") / F.col("n") / 100.0, 2
+        ).alias("max_excursion"),
         F.signum(F.col("sn")).cast("long").alias("direction"),
     )
 
