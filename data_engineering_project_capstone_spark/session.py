@@ -65,6 +65,19 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JDK-17 G1 + Arrow's JNI critical sections: a humongous
+        # allocation racing the GCLocker fails after only 2 retries
+        # (the JDK default) and surfaces as a spurious OOM that kills
+        # the driver JVM mid-broadcast ("Retried waiting for GCLocker
+        # too often" — observed under heavy concurrent plan
+        # construction on a loaded host). Raising the retry budget is
+        # the canonical mitigation; it costs nothing when memory is
+        # genuinely exhausted.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=64",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -20,10 +20,15 @@ def plan_of(spark, name: str) -> str:
 def all_plans(spark) -> dict[str, str]:
     """One threaded pass building every catalog entry's physical plan,
     shared by the catalog-wide hygiene sweeps (plan construction is
-    JVM-side and overlaps well; two serial sweeps cost ~40 s)."""
+    JVM-side and overlaps well; two serial sweeps cost ~40 s).
+    max_workers=4: several entries run eager localCheckpoints during
+    construction, so 8 concurrent builders stacked broadcast
+    materializations high enough to trip the JDK-17 GCLocker
+    allocation failure on a loaded host (see session.py's
+    GCLockerRetryAllocationCount note)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         return dict(
             pool.map(lambda n: (n, plan_of(spark, n)), sorted(CATALOG))
         )
