@@ -90,6 +90,14 @@ def main() -> int:
         loads[i] += WEIGHTS.get(os.path.basename(f), 5)
     assert sorted(f for b in buckets for f in b) == files  # exact coverage
     t0 = time.monotonic()
+    # 12g driver heap per shard JVM (4 shards = 48g of the 128g box):
+    # the plan-shapes shard builds every catalog plan, several with
+    # eager localCheckpoint blocks that accumulate ahead of the
+    # ContextCleaner — at 8g that shard died in BroadcastExchange with
+    # "Not enough memory to build and broadcast" (see BENCH_NOTES
+    # round-8 post-mortem).
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
     procs = []
     for i, b in enumerate(buckets):
         if not b:
@@ -103,6 +111,7 @@ def main() -> int:
                     stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT,
                     text=True,
+                    env=env,
                 ),
             )
         )

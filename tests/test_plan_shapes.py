@@ -21,17 +21,26 @@ def all_plans(spark) -> dict[str, str]:
     """One threaded pass building every catalog entry's physical plan,
     shared by the catalog-wide hygiene sweeps (plan construction is
     JVM-side and overlaps well; two serial sweeps cost ~40 s).
-    max_workers=4: several entries run eager localCheckpoints during
-    construction, so 8 concurrent builders stacked broadcast
-    materializations high enough to trip the JDK-17 GCLocker
-    allocation failure on a loaded host (see session.py's
-    GCLockerRetryAllocationCount note)."""
+    max_workers=4 and a JVM GC between batches: several entries run
+    eager localCheckpoints during construction, whose storage blocks
+    are only released after the Python DataFrame is garbage-collected
+    AND the ContextCleaner runs — building all ~250 plans back-to-back
+    accumulated blocks faster than cleanup and died in
+    BroadcastExchange with 'Not enough memory to build and broadcast'
+    (round-8 post-mortem in BENCH_NOTES). The periodic System.gc()
+    lets the cleaner reclaim checkpoint blocks between batches."""
+    import gc
     from concurrent.futures import ThreadPoolExecutor
 
+    names = sorted(CATALOG)
+    out: dict[str, str] = {}
     with ThreadPoolExecutor(max_workers=4) as pool:
-        return dict(
-            pool.map(lambda n: (n, plan_of(spark, n)), sorted(CATALOG))
-        )
+        for at in range(0, len(names), 48):
+            batch = names[at : at + 48]
+            out.update(pool.map(lambda n: (n, plan_of(spark, n)), batch))
+            gc.collect()  # drop Python-side DataFrame refs
+            spark.sparkContext._jvm.System.gc()  # let ContextCleaner run
+    return out
 
 
 def formatted_plan_of(spark, name: str) -> str:
