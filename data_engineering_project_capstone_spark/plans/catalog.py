@@ -611,14 +611,18 @@ FROM nation
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per customer nation (deterministic
-    tiebreak on orderkey)."""
+    tiebreak on orderkey). Both rank keys pin NULLS LAST explicitly:
+    at a price tie, an unpinned NULL orderkey outranks a real key on
+    Spark (ASC NULLS FIRST) and loses on DuckDB (NULLS LAST) — caught
+    by the random-corpus fuzz net."""
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     joined = orders.join(
         F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
     )
     w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
     )
     return (
         joined.withColumn("rk", F.row_number().over(w))
@@ -636,7 +640,7 @@ FROM (
     SELECT c_nationkey, o_orderkey, o_totalprice,
            row_number() OVER (
                PARTITION BY c_nationkey
-               ORDER BY o_totalprice DESC, o_orderkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS LAST
            ) AS rk
     FROM orders JOIN customer ON o_custkey = c_custkey
 ) WHERE rk <= 3
@@ -1011,7 +1015,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned NULLS LAST explicitly: Spark windows default NULLS FIRST and
     DuckDB NULLS LAST, so an undated order would silently shift every
     running total in its partition cross-engine (degenerate-orders
-    NULL-measure net)."""
+    NULL-measure net). The running sum is EXACT INTEGER CENTS divided
+    at readout: a raw double window-sum is association-sensitive, and
+    DuckDB aggregates window frames through a segment tree while Spark
+    accumulates sequentially — the last-ulp difference flips a 2dp
+    rounding boundary (caught by the random-corpus fuzz net at
+    2278.615)."""
     orders = t(spark, sf_dir, "orders")
     keys = [
         F.col("o_orderdate").asc_nulls_last(),
@@ -1022,22 +1031,24 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        ieee_round(F.sum(cents).over(w) / 100.0, 2).alias("running_total"),
         F.row_number().over(
             Window.partitionBy("o_custkey").orderBy(*keys)
         ).cast("long").alias("order_seq"),
     )
 
 
-WINDOW_RUNNING_SQL = """
+WINDOW_RUNNING_SQL = f"""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
-           PARTITION BY o_custkey
-           ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
-           ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       {sql_ieee_round('''sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
+                 ROWS UNBOUNDED PRECEDING) / 100.0''', 2)}
+           AS running_total,
        CAST(row_number() OVER (
            PARTITION BY o_custkey
            ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST

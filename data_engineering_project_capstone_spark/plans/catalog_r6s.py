@@ -32,6 +32,9 @@ from .catalog import Entry, sql_ieee_round, t
 def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row ledger: customers, total spend, Gini coefficient of the
     per-customer spend distribution."""
+    # a customer whose every order has a NULL price has no defined
+    # spend — excluded on BOTH engines before ranking (a NULL cents
+    # would sort FIRST on Spark, LAST on DuckDB; random-corpus fuzz)
     per_cust = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -40,6 +43,7 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
             ).alias("cents")
         )
+        .filter(F.col("cents").isNotNull())
     )
     w = Window.orderBy("cents", "o_custkey")
     ranked = per_cust.select(
@@ -73,6 +77,7 @@ WITH per_cust AS (
     SELECT o_custkey,
            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
     FROM orders GROUP BY o_custkey
+    HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) IS NOT NULL
 ),
 ranked AS (
     SELECT cents,

@@ -55,7 +55,11 @@ _KS_SEGMENT = "BUILDING"
 
 def _spend_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(grp, cents): per-customer spend in exact int64 cents, grp = is
-    BUILDING segment. Shared input of the three two-sample entries."""
+    BUILDING segment. Shared input of the three two-sample entries.
+    A customer whose every order has a NULL price has NO defined spend
+    (sum of all-NULL = NULL) and is excluded on BOTH engines — a NULL
+    cents value would otherwise ride the rank windows, where Spark
+    sorts it FIRST and DuckDB LAST (random-corpus fuzz net)."""
     per_cust = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -64,6 +68,7 @@ def _spend_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
+        .filter(F.col("cents").isNotNull())
     )
     seg = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
@@ -77,6 +82,7 @@ _SPEND_BY_GROUP_SQL = f"""
            sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY o.o_custkey, c.c_mktsegment
+    HAVING sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) IS NOT NULL
 """
 
 

@@ -137,9 +137,23 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     locate the bucket, then per-VALUE weight sums inside it (no
     row_number anywhere: duplicate values merge, so no tie ordering
     exists to depend on)."""
-    vals = t(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
-        F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
+    # a NULL price has no bucket (its NULL bucket sorts FIRST in
+    # Spark's cumulative window, LAST in the oracle's value order) and
+    # a non-positive weight must not be electable as the median value
+    # (a zero-weight row ties cumw with its predecessor at the
+    # boundary) — both excluded on BOTH engines; random-corpus fuzz net
+    vals = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & (F.round(F.col("l_quantity"), 0) > 0)
+        )
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("c"),
+            F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
+        )
     )
     vals = vals.localCheckpoint()  # feeds histogram + phase-2 probe
     hist = (
@@ -194,6 +208,7 @@ WITH vals AS (
     SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
            CAST(round(l_quantity) AS BIGINT) AS w
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND round(l_quantity) > 0
 ),
 tot AS (SELECT (sum(w) + 1) // 2 AS pos FROM vals),
 by_val AS (

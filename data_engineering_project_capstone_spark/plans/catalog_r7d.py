@@ -164,6 +164,11 @@ ORDER BY streak_months
 _PRIORITIES = 5  # o_orderpriority has a fixed 5-value domain
 
 
+_MIX_PRIOS = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+)
+
+
 def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month L1 distance between order-priority composition
     vectors: drift = Σ_p |share_p(m) − share_p(m−1)|, NULL for the
@@ -171,17 +176,18 @@ def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-wide composition, and a lag over the calendar-bounded month
     spine. Shares are exact integer ratios (cnt/total built from the
     same int64s on both engines)."""
-    # a dateless order has no month and a priority-less order is not
-    # part of the composition: both excluded on BOTH engines. Unfixed,
-    # a NULL month diverges in the lag's NULL sort placement, and a
-    # NULL priority becomes a real pivot column on Spark while the
-    # oracle's equality join silently drops it (degenerate-orders
-    # NULL-measure net).
+    # the composition is over the FIXED canonical priority taxonomy:
+    # a dateless order has no month, and an off-enum or NULL priority
+    # is not part of the 5-vector (unfixed, a NULL month diverges in
+    # the lag's NULL sort placement, a NULL priority becomes a real
+    # Spark pivot column the oracle's equality join drops, and a SIXTH
+    # distinct value — the fuzz net's '' — overflows the oracle's
+    # hardcoded 5-wide CASE while the Spark pivot widens dynamically).
     by_mp = (
         t(spark, sf_dir, "orders")
         .filter(
             F.col("o_orderdate").isNotNull()
-            & F.col("o_orderpriority").isNotNull()
+            & F.col("o_orderpriority").isin(*_MIX_PRIOS)
         )
         .groupBy(
             (
@@ -234,7 +240,8 @@ WITH by_mp AS (
                + EXTRACT(MONTH FROM o_orderdate)::BIGINT - 1 AS m,
            o_orderpriority AS prio, count(*) AS cnt
     FROM orders
-    WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+    WHERE o_orderdate IS NOT NULL
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
     GROUP BY 1, 2
 ),
 prios AS (
