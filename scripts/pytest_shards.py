@@ -34,6 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WEIGHTS = {
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
+    "test_fuzz_differential.py": 70,  # 26 entries × 2 seeded corpora
     "test_plan_shapes.py": 148,
     "test_properties.py": 130,
     "test_determinism.py": 108,
