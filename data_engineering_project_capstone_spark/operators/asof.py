@@ -51,6 +51,24 @@ def asof_join(
     shuffle, same plan, a post-filter instead of a range join).
     """
     on = list(on)
+    # A timeless or keyless right row can never be "the most recent
+    # right row at-or-before ts for this key": a NULL right_ts fails
+    # every ts-comparison semantics (SQL `r.ts <= l.ts` is never true),
+    # yet inside the union-window it would sort into the NULLS-FIRST
+    # region and CARRY FORWARD into every left row of the partition;
+    # a NULL key would form an "anonymous" partition matching across
+    # keyless rows that SQL key-equality never matches (random-events
+    # fuzz net). Left rows with NULL ts/key keep a NULL payload: with
+    # the degenerate rights removed, nothing precedes them.
+    right = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
+    if tiebreak is not None:
+        # the tiebreak contract is "greatest wins" — two rows tied on
+        # (key, ts) with NULL tiebreaks have no defined order on either
+        # engine (each picks arbitrarily), so a NULL-tiebreak right row
+        # has no position in the match order at all
+        right = right.filter(F.col(tiebreak).isNotNull())
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (*on, right_ts)
     ]

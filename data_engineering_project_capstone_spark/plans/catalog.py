@@ -892,13 +892,19 @@ ORDER BY o_orderstatus, o_orderpriority
 
 def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.asof.asof_join): each purchase event matched
-    to the user's most recent signup at-or-before it."""
+    to the user's most recent signup at-or-before it. Output rows are
+    identified by purchase event_id, so keyless purchases are excluded
+    on BOTH engines (the oracle's PARTITION BY p.event_id would
+    collapse two NULL-id purchases into one row while the operator
+    keeps both — random-events fuzz net); the operator itself drops
+    timeless/keyless RIGHT rows (see asof_join)."""
     from ..operators.asof import asof_join
 
     ev = events_table(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("event_id").isNotNull()
+    ).select("event_id", "user_id", "ts")
     signups = ev.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -931,9 +937,10 @@ FROM (
                ORDER BY s.ts DESC, s.event_id DESC
            ) AS rn
     FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase') p
+          WHERE event_type = 'purchase' AND event_id IS NOT NULL) p
     LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
-               WHERE event_type = 'signup') s
+               WHERE event_type = 'signup' AND event_id IS NOT NULL
+                 AND user_id IS NOT NULL AND ts IS NOT NULL) s
       ON p.user_id = s.user_id AND s.ts <= p.ts
 ) WHERE rn = 1
 """

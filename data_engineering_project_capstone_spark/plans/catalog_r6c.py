@@ -216,8 +216,13 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps. NULL-ts events are dropped on both sides (engine-wide
     events policy): an event with no timestamp has no position in a
     sequence, and engines disagree on NULL sort placement (Spark NULLS
-    FIRST vs DuckDB NULLS LAST) — the degenerate sweep pins this."""
-    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    FIRST vs DuckDB NULLS LAST) — the degenerate sweep pins this.
+    Keyless (NULL event_id) events are dropped too: the id is the tie
+    order, and an id-ordered op gives a keyless row no position
+    (random-events fuzz net)."""
+    ev = events_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -242,7 +247,7 @@ WITH seq AS (
            lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev
     FROM events
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ), mat AS (
     SELECT prev AS from_type, event_type AS to_type, count(*) AS n
     FROM seq WHERE prev IS NOT NULL

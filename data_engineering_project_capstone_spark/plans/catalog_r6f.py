@@ -160,8 +160,11 @@ def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the lag window partitions on user_id (the same single
     shuffle the transition matrix pays — a planner reuses it when both
     run); the path groupBy is tiny. NULL-ts events drop on both sides
-    (events NULL policy; engines disagree on NULL sort placement)."""
-    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    (events NULL policy; engines disagree on NULL sort placement),
+    and so do keyless events — the id is the tie order (fuzz net)."""
+    ev = events_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("user_id", "ts", "event_id", "event_type").select(
         "event_type",
@@ -187,7 +190,7 @@ WITH seq AS (
            lag(event_type, 2) OVER w AS t0,
            lag(event_type, 1) OVER w AS t1
     FROM events
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND event_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT t0 AS step1, t1 AS step2, event_type AS step3, count(*) AS n
@@ -322,8 +325,12 @@ def join_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by purchase_id — high-cardinality key, so the windows
     are executor-local after one shuffle. Ties (equal click ts) break
     by click_id on both ends. Purchases with no qualifying click drop
-    on both sides (inner join)."""
-    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    on both sides (inner join). Keyless clicks/purchases are
+    excluded on both engines: click_id is the tie order and
+    purchase_id the output identity (random-events fuzz net)."""
+    ev = events_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -373,9 +380,11 @@ JOIN_ATTRIBUTION_SQL = f"""
 WITH clicks AS (
     SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
     FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+      AND event_id IS NOT NULL
 ), purchases AS (
     SELECT user_id, event_id AS purchase_id, ts AS p_ts
     FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      AND event_id IS NOT NULL
 ), ranked AS (
     SELECT purchase_id, user_id, click_id,
            row_number() OVER (PARTITION BY purchase_id

@@ -113,8 +113,12 @@ def pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ties: events sharing a timestamp order by event_id, so "strictly
     before" is a total order on (ts, event_id) — deterministic on both
-    engines."""
-    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    engines. Keyless (NULL event_id) events are excluded on both: the
+    id IS the tie order and purchase rows are identified by event_id
+    (random-events fuzz net)."""
+    ev = events_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -154,7 +158,8 @@ def pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIT_FEATURES_SQL = f"""
-WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+WITH ev AS (SELECT * FROM events
+           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 feat AS (
     SELECT user_id, event_id, event_type,
            count(*) OVER w AS n_prior_events,

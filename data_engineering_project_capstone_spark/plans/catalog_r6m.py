@@ -35,7 +35,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak from rows without outgoing transitions is visible in the sum
     (a diagnostic, not a bug — the test asserts conservation on the
     shipped corpus where every type both enters and leaves)."""
-    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    # NULL-ts and NULL-id events dropped on both engines: no
+    # position in an id-tie-broken sequence (random-events fuzz net)
+    ev = events_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -89,7 +93,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _markov_sql() -> str:
     prev = """
-WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+WITH ev AS (SELECT * FROM events
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 seq AS (
     SELECT event_type,
            lag(event_type) OVER (PARTITION BY user_id

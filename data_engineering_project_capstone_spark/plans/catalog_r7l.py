@@ -49,9 +49,13 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
     ev = events_table(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    # keyless purchases excluded on both engines: the output row is
+    # identified by purchase event_id and the oracle's PARTITION BY
+    # p.event_id collapses NULL ids (see join_asof_events)
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("event_id").isNotNull()
+    ).select("event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
@@ -86,9 +90,10 @@ FROM (
                ORDER BY c.ts DESC, c.event_id DESC
            ) AS rn
     FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase') p
+          WHERE event_type = 'purchase' AND event_id IS NOT NULL) p
     LEFT JOIN (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'click') c
+               WHERE event_type = 'click' AND event_id IS NOT NULL
+                 AND user_id IS NOT NULL AND ts IS NOT NULL) c
       ON p.user_id = c.user_id
      AND c.ts <= p.ts
      AND epoch_us(p.ts) - epoch_us(c.ts) <= CAST({_TOL_S} AS BIGINT) * 1000000
