@@ -43,7 +43,14 @@ def asof_join(
     ``{prefix}{col}``; unmatched left rows keep them null.
 
     ``tiebreak``: optional right-side column that orders right rows sharing
-    a timestamp (the greatest wins — deterministic).
+    a timestamp (the greatest wins — deterministic). Passing a tiebreak
+    EXCLUDES right rows whose tiebreak is NULL — even rows not actually
+    tied on (key, ts): the column is declared to be the match-order
+    identity, and a row with a NULL identity has no defined position in
+    that order (SQL engines order NULLs arbitrarily within a tie, so
+    keeping them is a cross-engine divergence, not a semantics). Callers
+    with a sparsely-populated tiebreak column should coalesce it to a
+    sentinel first if those rows must stay matchable.
 
     ``tolerance_seconds``: pandas-merge_asof-style bound — a match older
     than this is nulled out AFTER the carry-forward fill (the struct

@@ -287,7 +287,12 @@ def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast for the total, and an exact integer
     cross-multiplication for the threshold — DECIMAL(38,0)·1000 on the
     Spark side vs DuckDB's HUGEINT, so no float threshold and no BIGINT
-    overflow at any SF."""
+    overflow at any SF. Exactness envelope: the two integer types
+    diverge only in FAILURE MODE, not in value — past ~1e35 revenue
+    units (~1e24 TB of data; unreachable) `v * 1000` overflows
+    decimal(38,0), which Spark's non-ANSI mode returns as NULL (row
+    silently dropped by the filter) while DuckDB's 128-bit HUGEINT
+    raises. Same convention as the r7 spearman 4n^4 saturation note."""
     sup = (
         t(spark, sf_dir, "supplier")
         .join(

@@ -65,21 +65,30 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # JDK-17 G1 + Arrow's JNI critical sections: a humongous
-        # allocation racing the GCLocker fails after only 2 retries
-        # (the JDK default) and surfaces as a spurious OOM that kills
-        # the driver JVM mid-broadcast ("Retried waiting for GCLocker
-        # too often" — observed under heavy concurrent plan
-        # construction on a loaded host). Raising the retry budget is
-        # the canonical mitigation; it costs nothing when memory is
-        # genuinely exhausted.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions "
-            "-XX:GCLockerRetryAllocationCount=64",
-        )
         .config("spark.ui.enabled", "false")
     )
-    for k, v in (extra_conf or {}).items():
+    extra_conf = dict(extra_conf or {})
+    # JDK-17 G1 + Arrow's JNI critical sections: a humongous allocation
+    # racing the GCLocker fails after only 2 retries (the JDK default)
+    # and surfaces as a spurious OOM that kills the driver JVM
+    # mid-broadcast ("Retried waiting for GCLocker too often" — observed
+    # under heavy concurrent plan construction on a loaded host).
+    # Raising the retry budget is the canonical mitigation; it costs
+    # nothing when memory is genuinely exhausted. MERGED with (not
+    # clobbering) any caller/env-provided driver JVM flags; like every
+    # JVM option here, it only takes effect when this call actually
+    # starts the JVM — getOrCreate() reusing a live session keeps that
+    # session's flags.
+    gclocker = (
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+    )
+    caller_java_opts = extra_conf.pop("spark.driver.extraJavaOptions", None)
+    java_opts = (
+        f"{caller_java_opts} {gclocker}"
+        if caller_java_opts and "GCLockerRetryAllocationCount" not in caller_java_opts
+        else (caller_java_opts or gclocker)
+    )
+    builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
