@@ -2171,11 +2171,17 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) while the source's running token total stays ≤ 800 — the
     per-domain quota pattern of corpus curation. The running sum is the
     two-pass chunked layout (operators/packing.py): no per-source
-    single-task window, same scale shape as pack_sequences."""
+    single-task window, same scale shape as pack_sequences.
+
+    NULL policy (random-docs fuzz, r9): keyless docs are excluded on
+    both engines — doc_id is the output identity AND the tiebreak of
+    the (content-hash, doc_id) quota order, and with duplicate texts
+    (tied hashes) a NULL id has no defined position (Spark sorts NULLs
+    first ascending, DuckDB last). Same discipline as shard_balance."""
     from ..operators.packing import chunked_running_offset
     from ..operators.text import token_count
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     toks = docs.select(
         "source", "doc_id", token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"), F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
     )
@@ -2199,6 +2205,7 @@ WITH toks AS (
            len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
            md5(coalesce(text, '')) AS h
     FROM documents
+    WHERE doc_id IS NOT NULL
 ), c AS (
     SELECT source, doc_id, n_tok,
            sum(n_tok) OVER (
@@ -3634,8 +3641,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     source) stratum, chosen by content hash — reproducible across runs and
     cluster layouts, unlike TABLESAMPLE/rand(). One shuffle on the stratum
     key; at scale a skewed stratum routes through the two-phase top-k
-    (operators/topk.py) instead of a single whole-partition window."""
-    docs = t(spark, sf_dir, "documents")
+    (operators/topk.py) instead of a single whole-partition window.
+
+    NULL policy (random-docs fuzz, r9): keyless docs are excluded on
+    both engines — a sample row without its doc_id is unretrievable,
+    and with duplicate texts (tied content hashes) a NULL id has no
+    defined position in the tiebreak order (Spark NULLS FIRST asc,
+    DuckDB NULLS LAST). Same discipline as shard_balance."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     w = Window.partitionBy("lang", "source").orderBy(F.md5(F.coalesce(F.col("text"), F.lit(""))), "doc_id")
     return (
         docs.withColumn("rk", F.row_number().over(w))
@@ -3653,6 +3666,7 @@ FROM (
                PARTITION BY lang, source ORDER BY md5(coalesce(text, '')), doc_id
            ) AS rk
     FROM documents
+    WHERE doc_id IS NOT NULL
 )
 WHERE rk <= 10
 ORDER BY lang, source, rk
@@ -3667,12 +3681,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices of each language's order, pass 1 turns tiny per-(lang,chunk)
     sums into broadcast chunk offsets, pass 2 windows over (lang, chunk) —
     no whole-lang single-task window, bit-identical to the one-window
-    plan."""
+    plan.
+
+    NULL policy (random-docs fuzz, r9): keyless docs are excluded on
+    both engines — doc_id breaks ties in the (content-hash, doc_id)
+    packing order, and with duplicate texts a NULL id has no defined
+    position (Spark NULLS FIRST asc vs DuckDB NULLS LAST), which can
+    shift a pack boundary. Same discipline as shard_balance; fixed as
+    a latent twin of source_token_budget (shared running-sum helper)."""
     from ..operators.packing import chunked_running_offset
     from ..operators.text import token_count
 
     cap = 256
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     toks = docs.select(
         "lang", "doc_id", token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"), F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
     )
@@ -3701,6 +3722,7 @@ WITH toks AS (
            len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
            md5(coalesce(text, '')) AS h
     FROM documents
+    WHERE doc_id IS NOT NULL
 ), c AS (
     SELECT lang, doc_id, n_tok,
            sum(n_tok) OVER (

@@ -117,8 +117,16 @@ def dup_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs) hot-spots the window partition exactly as it would the
     groupBy, and gets handled the same way (cap or pre-filter by a
     sampled document-frequency list).
+
+    NULL policy (random-docs fuzz, r9): keyless docs are excluded on
+    both engines — doc_id is the per-doc ledger identity, and grouping
+    NULL ids merges every keyless doc into one phantom "document"
+    whose shingle counts then depend on engine-specific dedup shape
+    (the oracle's SELECT DISTINCT dedups shingles across the merged
+    group; the Spark form counts per-row distinct shingles). Same
+    discipline as shard_balance.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     # materialize the token array ONCE: referencing the split inside the
     # transform lambda re-evaluates it per element (O(tokens²) per doc)
     tok = docs.select("doc_id", _toks().alias("toks"))
@@ -148,6 +156,7 @@ def dup_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_PASSAGE_SQL = rf"""
 WITH tok AS (
     SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    WHERE doc_id IS NOT NULL
 ), g AS (
     SELECT DISTINCT doc_id,
            unnest(list_transform(

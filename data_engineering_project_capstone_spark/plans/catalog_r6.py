@@ -331,10 +331,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage 3 is a per-lang window over already-gated survivors; stage 4 a
     strata-sized agg. Catalyst pipelines all four into ~three shuffles
     total; nothing materializes between stages.
+
+    NULL policy (random-docs fuzz, r9): keyless docs are excluded on
+    both engines — doc_id is the dedup tiebreak AND the quota order
+    key (md5 of a NULL id is NULL, so every keyless doc ties), and the
+    engines place NULLs on opposite ends of an ascending sort, which
+    flips dedup survivors (and their lang/source attribution in the
+    mixture report). Same discipline as shard_balance.
     """
     from ..operators.text import quality_score, token_count
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     txt = F.coalesce(F.col("text"), F.lit(""))
     words = F.split(F.trim(txt), r"\s+")
     n_words = F.size(words).cast("long")
@@ -388,7 +395,8 @@ WITH gated AS (
            )} AS q,
            len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok
     FROM documents
-    WHERE len(string_split_regex(trim(coalesce(text, '')), '\s+')) >= 20
+    WHERE doc_id IS NOT NULL
+      AND len(string_split_regex(trim(coalesce(text, '')), '\s+')) >= 20
       AND length(regexp_replace(coalesce(text, ''), '\s+', '', 'g')) * 1.0
           / len(string_split_regex(trim(coalesce(text, '')), '\s+'))
           BETWEEN 2.0 AND 10.0

@@ -256,8 +256,18 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, so measured accuracy is chance-level (~4% over ~25
     sources at sf0.01). The oracle verifies the PIPELINE — split,
     smoothing, log-space scoring, argmax — cross-engine; model quality
-    is a property of the data, not the operator."""
-    docs = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    is a property of the data, not the operator.
+
+    NULL policy (random-docs fuzz, r9): keyless docs are excluded on
+    both engines — doc_id is the prediction identity; grouping NULL
+    ids merges every keyless test doc into one phantom doc, and the
+    merge shape diverges structurally (the Spark form predicts once
+    per (NULL, actual) group, the oracle's argmax partitions by doc_id
+    alone and keeps a single row for all of them). Same discipline as
+    shard_balance."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("doc_id").isNotNull()
+    )
     bucket = (
         F.conv(
             F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 15),
@@ -344,7 +354,8 @@ WITH toks AS (
                  AS BIGINT) % 100) < 80 AS is_train,
            tok
     FROM (SELECT doc_id, source, text, unnest({{sql_toks}}) AS tok
-          FROM documents WHERE source IS NOT NULL)
+          FROM documents
+          WHERE source IS NOT NULL AND doc_id IS NOT NULL)
     WHERE tok <> ''
 ), train AS (SELECT * FROM toks WHERE is_train),
    test  AS (SELECT * FROM toks WHERE NOT is_train),

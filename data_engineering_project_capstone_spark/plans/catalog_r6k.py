@@ -327,8 +327,14 @@ def quantile_norm_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL policy: n_chars NULL ranks as 0 (empty doc) — ranking on the
     raw column would diverge structurally (Spark windows default NULLS
     FIRST ascending, DuckDB NULLS LAST; caught by the degenerate-docs
-    sweep)."""
-    docs = t(spark, sf_dir, "documents").select(
+    sweep). Keyless docs are excluded on both engines (r9 random-docs
+    fuzz): doc_id is the output identity AND the rank tiebreak, and
+    with tied lengths a NULL id has no defined rank position — the
+    same NULLS-placement divergence, one column over. Same discipline
+    as shard_balance."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    ).select(
         "doc_id", "source", F.coalesce("n_chars", F.lit(0)).alias("nc")
     )
     grid = docs.agg(
@@ -365,6 +371,7 @@ def quantile_norm_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANTILE_NORM_SQL = """
 WITH d AS (
     SELECT doc_id, source, coalesce(n_chars, 0) AS n_chars FROM documents
+    WHERE doc_id IS NOT NULL
 ),
 grid AS (
     SELECT quantile_cont(n_chars, [{qs}]) AS g FROM d
