@@ -286,9 +286,16 @@ def cond_compass_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's format_string renders a NULL argument as the literal
     string "null" (Java String.format), so without the guard a NULL
     balance becomes "nullN" here while DuckDB's printf propagates
-    NULL — pinned by the degenerate-customer net."""
+    NULL — pinned by the degenerate-customer net.
+
+    Round-half parity (random-dims fuzz, r9): the raw %.2f formatters
+    DISAGREE at exact binary halves — Java String.format rounds
+    128.125 HALF_UP to "128.13", C printf half-even to "128.12" — so
+    both engines format the ieee_round-ed value instead: after
+    floor(x*100+0.5)/100 the double sits on the 2dp grid and neither
+    printf has a tie left to break."""
     cust = t(spark, sf_dir, "customer")
-    mag = F.format_string("%.2f", F.abs(F.col("c_acctbal")))
+    mag = F.format_string("%.2f", ieee_round(F.abs(F.col("c_acctbal")), 2))
     return cust.select(
         "c_custkey",
         F.when(F.col("c_acctbal").isNull(), F.lit(None).cast("string"))
@@ -298,10 +305,12 @@ def cond_compass_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COND_COMPASS_SQL = """
+COND_COMPASS_SQL = f"""
 SELECT c_custkey,
-       CASE WHEN c_acctbal < 0 THEN printf('%.2f', abs(c_acctbal)) || 'S'
-            ELSE printf('%.2f', abs(c_acctbal)) || 'N' END AS bal_compass
+       CASE WHEN c_acctbal < 0
+            THEN printf('%.2f', {sql_ieee_round("abs(c_acctbal)", 2)}) || 'S'
+            ELSE printf('%.2f', {sql_ieee_round("abs(c_acctbal)", 2)}) || 'N'
+       END AS bal_compass
 FROM customer
 """
 
@@ -3262,8 +3271,18 @@ def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank deterministic. One shuffle on c_nationkey; 25 balanced partitions —
     at 100 TB the per-nation partition is what AQE would split, but ranking
     windows need whole-partition order, so the honest scale path for a
-    skewed partition key is the two-phase top-k in operators/topk.py."""
-    customer = t(spark, sf_dir, "customer")
+    skewed partition key is the two-phase top-k in operators/topk.py.
+
+    NULL policy (random-dims fuzz, r9): keyless customers are excluded
+    on both engines — c_custkey is the output identity AND the rank
+    tiebreak, and within a tied-balance block a NULL key has no
+    defined position (Spark NULLS FIRST asc vs DuckDB NULLS LAST),
+    which shifts every pct_rank/cume below it. NULL balances stay: the
+    DESC order puts them last on both engines and the non-NULL key
+    tiebreak is then total."""
+    customer = t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
@@ -3282,6 +3301,7 @@ SELECT c_nationkey, c_custkey,
        {sql_ieee_round("percent_rank() OVER w", 6)} AS pct_rank,
        {sql_ieee_round("cume_dist()    OVER w", 6)} AS cume
 FROM customer
+WHERE c_custkey IS NOT NULL
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
 ORDER BY c_nationkey, c_custkey
 """

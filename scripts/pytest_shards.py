@@ -36,6 +36,8 @@ WEIGHTS = {
     "test_oracle_differential.py": 150,
     "test_fuzz_differential.py": 70,  # 26 entries × 2 seeded corpora
     "test_fuzz_events.py": 80,  # 36 events consumers × 2 seeded corpora
+    "test_fuzz_docs.py": 130,  # 67 docs consumers × 2 seeded corpora
+    "test_fuzz_dims.py": 75,  # 60 dims consumers × 2 seeded corpora
     "test_plan_shapes.py": 148,
     "test_properties.py": 130,
     "test_determinism.py": 108,
