@@ -659,6 +659,15 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure per-row array fold (no shuffle); final agg is label-sized.
     Quantization uses floor(x/s + 0.5) on both engines — identical IEEE
     op sequence, no round-half-mode ambiguity.
+
+    Precision parity (random-embeddings fuzz, r9): the oracle must
+    CAST maxabs to DOUBLE before dividing — DuckDB's list_max over a
+    FLOAT list yields FLOAT, and FLOAT / 127.0 (a DECIMAL literal)
+    stays FLOAT, so without the cast the oracle quantized with a
+    float32-rounded scale while Spark used float64 (greatest(double,
+    float) promotes); the ~1e-7-relative scale skew moved 4dp-rounded
+    ppm values on tie-heavy corpora. With the cast both engines run
+    the identical double op sequence and agree bit-exactly.
     """
     emb = t(spark, sf_dir, "embeddings")
     gmax = emb.agg(
@@ -699,7 +708,7 @@ WITH g AS (
     SELECT label,
            list_sum(list_transform(
                embedding,
-               x -> pow(floor(x / (g.maxabs / 127.0) + 0.5) * (g.maxabs / 127.0) - x, 2)
+               x -> pow(floor(x / (CAST(g.maxabs AS DOUBLE) / 127.0) + 0.5) * (CAST(g.maxabs AS DOUBLE) / 127.0) - x, 2)
            )) / len(embedding) AS mse
     FROM embeddings CROSS JOIN g
 )

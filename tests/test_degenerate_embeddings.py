@@ -14,14 +14,13 @@ from __future__ import annotations
 import math
 import shutil
 
-import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from data_engineering_project_capstone_spark.plans.catalog import CATALOG
 
-from test_oracle_differential import TABLES, _rowset
+from degen_util import assert_embeddings_entry_matches
+from test_oracle_differential import TABLES
 
 REAL_SF = "/root/testdata/sf0.001"
 DIM = 64
@@ -87,71 +86,6 @@ def degen_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", ENTRIES)
 def test_entry_survives_degenerate_embeddings(spark, degen_dir, name):
-    entry = CATALOG[name]
-    sdf = entry.spark_fn(spark, degen_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]  # must not throw
-
-    for row in spark_rows:  # no NaN/inf escapes into results
-        for v in row:
-            if isinstance(v, float):
-                assert not math.isnan(v) and not math.isinf(v), (name, row)
-            if isinstance(v, list):
-                assert all(
-                    not (isinstance(x, float) and (math.isnan(x) or math.isinf(x)))
-                    for x in v
-                ), (name, row)
-
-    if entry.sql is None:
-        return
-
-    # The check_* entries' boolean columns encode DATA-DEPENDENT
-    # expectations (k rows per query, recall floor) that hold on the
-    # driver corpus but not on a 7-vector pathological one — LSH
-    # legitimately returns fewer than k candidates from a near-empty
-    # bucket. Compare only the universal columns there: the cross-engine
-    # exact-top-1 baseline and n_beats_exact (approximate search can
-    # never beat exact — that IS corpus-independent).
-    data_dependent = {
-        "check_lsh_topk": {"rows_complete", "recall_floor_ok"},
-        "check_ivf_topk": {"rows_complete", "recall_floor_ok"},
-    }.get(name, set())
-    def drop_cols(cols, rows):
-        keep = [c for c in cols if c not in data_dependent]
-        idx = [cols.index(c) for c in keep]
-        return keep, [tuple(r[i] for i in idx) for r in rows]
-
-    if data_dependent:
-        spark_cols, spark_rows = drop_cols(spark_cols, spark_rows)
-    con = duckdb.connect()
-    try:
-        for t_name in TABLES:
-            con.execute(
-                f"CREATE VIEW {t_name} AS "
-                f"SELECT * FROM '{degen_dir}/{t_name}.parquet'"
-            )
-        res = con.execute(entry.sql)
-        ddb_cols = [d[0] for d in res.description]
-        ddb_rows = res.fetchall()
-    finally:
-        con.close()
-    if data_dependent:
-        ddb_cols, ddb_rows = drop_cols(ddb_cols, ddb_rows)
-    assert len(spark_rows) == len(ddb_rows), (
-        f"{name}: row count differs on degenerate embeddings "
-        f"(spark={len(spark_rows)} duck={len(ddb_rows)})"
+    assert_embeddings_entry_matches(
+        spark, name, degen_dir, "degenerate embeddings"
     )
-    sset = _rowset(spark_rows, spark_cols)
-    dset = _rowset(ddb_rows, ddb_cols)
-    # tolerant float compare (2e-4): the synthetic degenerate vectors can
-    # land a 4dp-rounded aggregate exactly on a rounding boundary where
-    # the engines' summation orders differ in the last ulp — a test-data
-    # artifact, not an engine bug (the strict oracle sweep on real data
-    # stays exact)
-    for a, b in zip(sset, dset):
-        assert len(a) == len(b), name
-        for x, y in zip(a, b):
-            if isinstance(x, float) and isinstance(y, float):
-                assert abs(x - y) <= 2e-4, (name, a, b)
-            else:
-                assert x == y, (name, a, b)
