@@ -105,7 +105,19 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t statistic, and the Welch-Satterthwaite degrees of freedom, for
     BUILDING-segment customers vs all others. Sample variance uses the
     exact-sum form (Σx² − (Σx)²/n)/(n−1); t is NULL when either group
-    is too small (<2) or both variances are zero."""
+    is too small (<2) or both variances are zero.
+
+    Exact folds (random-dims fuzz, r9): Σx and Σx² accumulate as
+    DECIMAL over integer cents and cents², not as raw double sums —
+    Spark's partial-aggregation order varies run to run, and on a
+    tie-heavy corpus the last-ulp drift in a double Σx² moved the
+    4dp-rounded t statistic across a rounding boundary (a FLAKY
+    cross-engine mismatch: same tree passed and failed alternate
+    runs). The decimal folds are order-free; both engines convert the
+    identical exact integers to double once, then run the identical
+    scalar op sequence. cents² of a 1e11-cent customer is ~1e22 —
+    DECIMAL(38,0) holds ~1e16 such customers before the documented
+    overflow-to-NULL envelope (q11 note) engages."""
     per_cust = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -122,19 +134,23 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             (F.col("c_mktsegment") == _TT_SEGMENT).alias("grp"),
-            (F.col("cents") / 100.0).alias("x"),
+            F.col("cents").cast("decimal(19,0)").alias("c19"),
         )
     )
     stats = per_cust.groupBy("grp").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum("c19").alias("sc"),
+        F.sum(F.col("c19") * F.col("c19")).alias("qc"),
     )
     a = stats.filter(F.col("grp")).select(
-        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+        F.col("n").alias("na"),
+        (F.col("sc").cast("double") / 100.0).alias("sa"),
+        (F.col("qc").cast("double") / 10000.0).alias("qa"),
     )
     b = stats.filter(~F.col("grp")).select(
-        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+        F.col("n").alias("nb"),
+        (F.col("sc").cast("double") / 100.0).alias("sb"),
+        (F.col("qc").cast("double") / 10000.0).alias("qb"),
     )
     j = a.crossJoin(F.broadcast(b))
     ma = F.col("sa") / F.col("na")
@@ -171,17 +187,24 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 WELCH_TTEST_SQL = f"""
 WITH per_cust AS (
     SELECT (c.c_mktsegment = '{_TT_SEGMENT}') AS grp,
-           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS x
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY o.o_custkey, c.c_mktsegment
 ),
 stats AS (
-    SELECT grp, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+    -- exact integer folds (HUGEINT ≡ the Spark form's DECIMAL): see
+    -- the entry docstring — raw double sums are partial-agg-order
+    -- dependent on the Spark side and flaked a 4dp rounding boundary
+    SELECT grp, count(*) AS n,
+           sum(CAST(cents AS HUGEINT)) AS sc,
+           sum(CAST(cents AS HUGEINT) * cents) AS qc
     FROM per_cust GROUP BY grp
 ),
 j AS (
-    SELECT a.n AS na, a.s1 AS sa, a.s2 AS qa,
-           b.n AS nb, b.s1 AS sb, b.s2 AS qb
+    SELECT a.n AS na, CAST(a.sc AS DOUBLE) / 100.0 AS sa,
+           CAST(a.qc AS DOUBLE) / 10000.0 AS qa,
+           b.n AS nb, CAST(b.sc AS DOUBLE) / 100.0 AS sb,
+           CAST(b.qc AS DOUBLE) / 10000.0 AS qb
     FROM (SELECT * FROM stats WHERE grp) a,
          (SELECT * FROM stats WHERE NOT grp) b
 ),
