@@ -129,8 +129,17 @@ ORDER BY nation_key, fold
 def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per nation: split sizes, the scaled 90% conformal radius, and
     the measured test coverage. Nations missing from train or
-    calibration drop out (inner joins — documented)."""
-    rows = _with_nation(spark, sf_dir).withColumn(
+    calibration drop out (inner joins — documented).
+
+    NULL policy (combined fuzz, r9): priceless orders are excluded on
+    both engines — a NULL price yields a NULL residual, which has no
+    position in the calibration's rank order (Spark NULLS FIRST asc vs
+    DuckDB NULLS LAST shifted the 90% quantile index onto different
+    rows) and can never be covered or cover anything in the test
+    split."""
+    rows = _with_nation(spark, sf_dir).filter(
+        F.col("c").isNotNull()
+    ).withColumn(
         "b", _bucket(F.col("o_orderkey"), 10)
     )
     rows = rows.localCheckpoint()  # three split consumers
@@ -188,7 +197,7 @@ WITH rows_ AS (
            CAST(concat('0x', substring(md5(CAST(o.o_orderkey AS VARCHAR)),
                 1, 15)) AS BIGINT) % 10 AS b
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_orderkey IS NOT NULL
+    WHERE o.o_orderkey IS NOT NULL AND o.o_totalprice IS NOT NULL
 ),
 train AS (
     SELECT g, sum(cts) AS s_g, count(*) AS n_g

@@ -37,9 +37,16 @@ SELECT c.c_custkey AS custkey,
 FROM customer c,
 LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
          WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderkey IS NOT NULL
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
 ORDER BY custkey
 """
+# o_orderkey IS NOT NULL (combined fuzz, r9): the orderkey is the
+# LIMIT-1 tiebreak at tied prices AND the output identity, and a NULL
+# key has no defined position in that order (Spark sorts NULLs first
+# ascending — the keyless order WINS the tie — DuckDB last, so it
+# loses). Keyless orders are excluded from the lateral on both
+# engines, per the repo's NULL-key discipline.
 
 
 def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,12 +82,23 @@ _TRIM = 10  # cut n//10 from each tail
 
 def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per nation: row count, trim size, and the exact 10%-trimmed
-    mean price (NULL when trimming would consume the whole group)."""
+    mean price (NULL when trimming would consume the whole group).
+
+    NULL policy (combined fuzz, r9): priceless and keyless orders are
+    excluded on both engines — the trim is a rank operation over
+    (cents, orderkey), and a NULL in either column has no defined rank
+    position (Spark NULLS FIRST asc vs DuckDB NULLS LAST trimmed
+    DIFFERENT tails: Spark cut the priceless rows, DuckDB cut the most
+    expensive ones). Matches the two_phase_quantiles percentile
+    semantics and the NULL-key discipline."""
     cust = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
     rows = (
         t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+        )
         .select(
             "o_orderkey",
             "o_custkey",
@@ -124,6 +142,7 @@ WITH rows_ AS (
            CAST(round(o.o_totalprice * 100) AS BIGINT) AS cts,
            o.o_orderkey
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice IS NOT NULL AND o.o_orderkey IS NOT NULL
 ),
 ranked AS (
     SELECT g, cts,

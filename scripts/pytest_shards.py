@@ -38,6 +38,8 @@ WEIGHTS = {
     "test_fuzz_events.py": 80,  # 36 events consumers × 2 seeded corpora
     "test_fuzz_docs.py": 130,  # 67 docs consumers × 2 seeded corpora
     "test_fuzz_dims.py": 75,  # 60 dims consumers × 2 seeded corpora
+    "test_fuzz_embeddings.py": 55,  # 14 vector consumers × 2 seeded corpora
+    "test_fuzz_combined.py": 50,  # 45 multi-table entries × 2 all-random corpora
     "test_plan_shapes.py": 148,
     "test_properties.py": 130,
     "test_determinism.py": 108,
