@@ -4835,6 +4835,21 @@ assert len(_DRIVER_WINDOW_R8) == 50, len(_DRIVER_WINDOW_R8)
 # deliberately EXCLUDED per verdict ask #2: each already has its
 # once-only no_oracle record and a green hashable check_* twin, so this
 # window can be a clean 50/50 with zero explainer rows.
+#
+# R10 ROTATION NOTE: after this round the never-checked queue is EMPTY
+# (first time since r5) — every oracle-paired entry has at least one
+# driver CORRECTNESS row. From r10 on, windows are pure re-checks;
+# prioritize (a) entries whose only records predate the r3/r4 testdata
+# regeneration (marked "(historical)" in COVERAGE.md's driver ledger),
+# (b) entries FIXED since their last driver record — the r9 fuzz wave
+# touched source_token_budget, pack_sequences, sample_stratified,
+# curation_pipeline, quantile_norm_lengths, dup_passage_docs,
+# nb_source_classifier, cond_compass_format, window_ntile_pctrank,
+# embedding_quantize, welch_ttest, trimmed_mean_price,
+# conformal_interval, lateral_topk (the last three were ALSO in this
+# r9 window, so their r9 rows already prove the fixed forms; the
+# others' latest rows predate the fix and deserve a fresh row), and
+# (c) the bench-timed heavies. Keep excluding the 8 rows-only entries.
 _DRIVER_WINDOW_R9 = [
     # (a) the 31 never-checked, oldest registration first
     "ks_two_sample",
