@@ -154,8 +154,19 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The prior-click lookup is the exclusive-prefix window with IGNORE
     NULLS — the same leakage-proof frame as pit_features, so a
     purchase can never time itself against a click at or after it
-    (ties break by event_id on both engines)."""
-    ev = events_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    (ties break by event_id on both engines).
+
+    NULL policy (r9 exploration fuzz, events seed 101): keyless events
+    are excluded on both engines, completing the r8 sequence-family
+    discipline this entry had escaped — event_id is the tie-break at
+    equal timestamps, and a NULL id sorts first on Spark and last in
+    DuckDB, so a keyless click tied with a purchase was visible to it
+    on one engine only (unlike the sessionize/gap entries, whose
+    outputs depend only on the sorted ts multiset and are tie-immune,
+    this one reads event TYPE through the order)."""
+    ev = events_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -187,7 +198,8 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUNNEL_TTC_SQL = f"""
-WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+WITH ev AS (SELECT * FROM events
+            WHERE ts IS NOT NULL AND event_id IS NOT NULL),
 lagged AS (
     SELECT event_type, ts,
            last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)

@@ -35,7 +35,7 @@ WEIGHTS = {
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
     "test_fuzz_differential.py": 70,  # 26 entries × 2 seeded corpora
-    "test_fuzz_events.py": 80,  # 36 events consumers × 2 seeded corpora
+    "test_fuzz_events.py": 110,  # 36 events consumers × 3 seeded corpora
     "test_fuzz_docs.py": 130,  # 67 docs consumers × 2 seeded corpora
     "test_fuzz_dims.py": 75,  # 60 dims consumers × 2 seeded corpora
     "test_fuzz_embeddings.py": 55,  # 14 vector consumers × 2 seeded corpora
