@@ -192,8 +192,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("o_year").cast("int").alias("o_year"),
+            # try_divide: a year whose units all round to zero (possible
+            # with zero-price/zero-qty lines) has no defined share —
+            # NULL on both engines (DuckDB x/0 is NULL; Spark ANSI `/`
+            # would THROW — caught by the combined fuzz, r9)
             ieee_round(
-                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+                F.try_divide(
+                    F.col("_num").cast("double"), F.col("_den").cast("double")
+                ),
+                6,
             ).alias("mkt_share"),
         )
         .orderBy("o_year")
@@ -325,10 +332,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("units").cast("decimal(38,0)")).alias("_den"),
         )
         .select(
+            # try_divide: same zero-denominator guard as q8 (all units
+            # in the window rounding to zero) — NULL on both engines
             ieee_round(
-                F.lit(100.0)
-                * F.col("_num").cast("double")
-                / F.col("_den").cast("double"),
+                F.try_divide(
+                    F.lit(100.0) * F.col("_num").cast("double"),
+                    F.col("_den").cast("double"),
+                ),
                 6,
             ).alias("promo_pct")
         )

@@ -34,12 +34,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WEIGHTS = {
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
-    "test_fuzz_differential.py": 70,  # 26 entries × 2 seeded corpora
+    "test_fuzz_differential.py": 72,  # 27 entries × 2 seeded corpora
     "test_fuzz_events.py": 110,  # 36 events consumers × 3 seeded corpora
     "test_fuzz_docs.py": 130,  # 67 docs consumers × 2 seeded corpora
     "test_fuzz_dims.py": 75,  # 60 dims consumers × 2 seeded corpora
     "test_fuzz_embeddings.py": 55,  # 14 vector consumers × 2 seeded corpora
-    "test_fuzz_combined.py": 50,  # 45 multi-table entries × 2 all-random corpora
+    "test_fuzz_combined.py": 75,  # 45 multi-table entries × 3 all-random corpora
     "test_plan_shapes.py": 148,
     "test_properties.py": 130,
     "test_determinism.py": 108,

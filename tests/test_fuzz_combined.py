@@ -55,8 +55,12 @@ def _multi_table_entries():
     return sorted(out)
 
 
-@pytest.fixture(scope="module", params=[61, 7001])
+@pytest.fixture(scope="module", params=[61, 7001, 303])
 def fuzz_dir(request, tmp_path_factory):
+    # 303 pinned r9: the exploration wave's find — a year whose units
+    # all round to zero drove q8's share denominator to exactly 0
+    # (Spark ANSI `/` throws, DuckDB yields NULL); neither original
+    # seed produced an all-zero year
     seed = request.param
     root = tmp_path_factory.mktemp(f"fuzz_all_{seed}")
     parts = {}

@@ -38,6 +38,7 @@ REAL_SF = "/root/testdata/sf0.001"
 ENTRIES = [
     "q1_pricing_summary",
     "q2_min_cost_supplier",
+    "q14_promo_revenue",  # r9: zero-denominator guard (try_divide) pinned
     "q11_important_share",
     "q12_priority_lateness",
     "q16_supplier_part_counts",
