@@ -19,6 +19,29 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
+# JDK-17 G1 + Arrow's JNI critical sections: a humongous allocation
+# racing the GCLocker fails after only 2 retries (the JDK default) and
+# surfaces as a spurious OOM that kills the driver JVM mid-broadcast
+# ("Retried waiting for GCLocker too often" — observed under heavy
+# concurrent plan construction on a loaded host). Raising the retry
+# budget is the canonical mitigation; it costs nothing when memory is
+# genuinely exhausted.
+_GCLOCKER_OPTS = (
+    "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+)
+
+
+def _merge_driver_java_opts(caller_opts: str | None) -> str:
+    """Caller-provided spark.driver.extraJavaOptions merged with (not
+    clobbered by) the GCLocker mitigation. The caller's flags come
+    first; the mitigation is appended unless the caller already sets a
+    GCLockerRetryAllocationCount of their own."""
+    if not caller_opts:
+        return _GCLOCKER_OPTS
+    if "GCLockerRetryAllocationCount" in caller_opts:
+        return caller_opts
+    return f"{caller_opts} {_GCLOCKER_OPTS}"
+
 
 def get_spark(
     app_name: str = "data_engineering_project_capstone_spark",
@@ -68,27 +91,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     extra_conf = dict(extra_conf or {})
-    # JDK-17 G1 + Arrow's JNI critical sections: a humongous allocation
-    # racing the GCLocker fails after only 2 retries (the JDK default)
-    # and surfaces as a spurious OOM that kills the driver JVM
-    # mid-broadcast ("Retried waiting for GCLocker too often" — observed
-    # under heavy concurrent plan construction on a loaded host).
-    # Raising the retry budget is the canonical mitigation; it costs
-    # nothing when memory is genuinely exhausted. MERGED with (not
-    # clobbering) any caller/env-provided driver JVM flags; like every
-    # JVM option here, it only takes effect when this call actually
-    # starts the JVM — getOrCreate() reusing a live session keeps that
-    # session's flags.
-    gclocker = (
-        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+    # Like every JVM option here, this only takes effect when this call
+    # actually starts the JVM — getOrCreate() reusing a live session
+    # keeps that session's flags.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        _merge_driver_java_opts(
+            extra_conf.pop("spark.driver.extraJavaOptions", None)
+        ),
     )
-    caller_java_opts = extra_conf.pop("spark.driver.extraJavaOptions", None)
-    java_opts = (
-        f"{caller_java_opts} {gclocker}"
-        if caller_java_opts and "GCLockerRetryAllocationCount" not in caller_java_opts
-        else (caller_java_opts or gclocker)
-    )
-    builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
