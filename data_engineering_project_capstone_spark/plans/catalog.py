@@ -4846,9 +4846,11 @@ assert len(_DRIVER_WINDOW_R8) == 50, len(_DRIVER_WINDOW_R8)
 # curation_pipeline, quantile_norm_lengths, dup_passage_docs,
 # nb_source_classifier, cond_compass_format, window_ntile_pctrank,
 # embedding_quantize, welch_ttest, trimmed_mean_price,
-# conformal_interval, lateral_topk (the last three were ALSO in this
-# r9 window, so their r9 rows already prove the fixed forms; the
-# others' latest rows predate the fix and deserve a fresh row), and
+# conformal_interval, lateral_topk (welch_ttest, trimmed_mean_price and
+# conformal_interval were ALSO in this r9 window, so their r9 rows
+# already prove the fixed forms; lateral_topk was NOT — its latest
+# driver row (r8) predates the fix — and the others' latest rows also
+# predate the fix and deserve a fresh row), and
 # (c) the bench-timed heavies. Keep excluding the 8 rows-only entries.
 _DRIVER_WINDOW_R9 = [
     # (a) the 31 never-checked, oldest registration first
@@ -4907,11 +4909,87 @@ _DRIVER_WINDOW_R9 = [
     "join_asof_tolerance",
 ]
 assert len(_DRIVER_WINDOW_R9) == 50, len(_DRIVER_WINDOW_R9)
+
+# R10 WINDOW (round-9 verdict ask #3). The never-checked queue is EMPTY,
+# so this window is pure risk-ranked re-checks:
+#   (a) the 14 entries FIXED in r9 whose latest driver rows predate the
+#       fix (the r9 docs/dims/embeddings/combined fuzz waves touched
+#       them; a fresh driver row proves each fix holds on clean data);
+#   (b) the 11 oracle-paired entries whose latest driver row is r1-r3,
+#       i.e. pre-testdata-regeneration (set_intersect, also an r2
+#       registrant, already has an r7 row and is excluded);
+#   (c) q1_pricing_summary post-oracle-cast-fix — the r9 red row. The
+#       Spark side was bit-identical to DuckDB; the red hash was the
+#       oracle's HUGEINT sum_qty rendering as float64 in the driver's
+#       pandas hash. Fixed as CAST(_q AS BIGINT) in catalog_r8.py, and
+#       the whole class is now gated by tests/test_oracle_dtypes.py
+#       (no decimal128/hugeint output column in any oracle).
+#   (d) 24 bench-timed heavies (BENCH_r09 descending), skipping entries
+#       with green r9 rows — re-check budget goes to stale entries.
+# The 8 rows-only entries stay excluded (once-only no_oracle records +
+# green hashable check_* twins), keeping the window a clean 50/50.
+_DRIVER_WINDOW_R10 = [
+    # (c) the r9 red row, post-fix — lead with it
+    "q1_pricing_summary",
+    # (a) fixed in r9, latest driver row predates the fix
+    "source_token_budget",
+    "pack_sequences",
+    "sample_stratified",
+    "curation_pipeline",
+    "quantile_norm_lengths",
+    "dup_passage_docs",
+    "nb_source_classifier",
+    "cond_compass_format",
+    "window_ntile_pctrank",
+    "embedding_quantize",
+    "lateral_topk",
+    "funnel_time_to_convert",
+    "q8_market_share",
+    "q14_promo_revenue",
+    # (b) latest driver row r1-r3 (pre-testdata-regeneration)
+    "proj_filter",
+    "derived_cast_round",
+    "string_split",
+    "date_parts",
+    "sas_date_convert",
+    "join_left_counts",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+    "set_union",
+    "set_except",
+    # (d) bench heavies, BENCH_r09 time desc, no green-r9 repeats
+    "dbscan_customers",
+    "graph_triangles",
+    "simjoin_prefix",
+    "q21_sole_late_supplier",
+    "knn_graph_radius",
+    "skew_salted_join",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_pairs",
+    "join_multiway_revenue",
+    "pagerank_event_graph",
+    "decontaminate",
+    "bm25_scores",
+    "token_bigram_pmi",
+    "q18_large_orders",
+    "semdedup_prune",
+    "similarity_topk",
+    "dsir_importance",
+    "events_sessionize",
+    "agg_stats_summary",
+    "dedup_exact",
+    "kl_source_drift",
+    "sketch_cms_topk",
+    "exact_substr_spans",
+    "events_hourly",
+]
+assert len(_DRIVER_WINDOW_R10) == 50, len(_DRIVER_WINDOW_R10)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R9,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R9)),
+        *_DRIVER_WINDOW_R10,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R10)),
     )
 }
 

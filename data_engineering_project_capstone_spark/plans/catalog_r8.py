@@ -135,7 +135,7 @@ WITH g AS (
     GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus,
-       _q AS sum_qty,
+       CAST(_q AS BIGINT) AS sum_qty,
        {sql_ieee_round('_c / 100.0', 2)} AS sum_base_price,
        {sql_ieee_round('_d / 10000.0', 2)} AS sum_disc_price,
        {sql_ieee_round('_ch / 1000000.0', 2)} AS sum_charge,

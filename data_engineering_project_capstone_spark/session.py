@@ -35,11 +35,19 @@ def _merge_driver_java_opts(caller_opts: str | None) -> str:
     """Caller-provided spark.driver.extraJavaOptions merged with (not
     clobbered by) the GCLocker mitigation. The caller's flags come
     first; the mitigation is appended unless the caller already sets a
-    GCLockerRetryAllocationCount of their own."""
+    GCLockerRetryAllocationCount of their own (that IS the opt-out:
+    set e.g. ``-XX:GCLockerRetryAllocationCount=2`` to restore the JDK
+    default). GCLockerRetryAllocationCount is a *diagnostic* VM option
+    — a JVM launched with it but without -XX:+UnlockDiagnosticVMOptions
+    refuses to start — so when the caller sets their own count we still
+    prepend the unlock flag if absent (it is idempotent and has no
+    other effect)."""
     if not caller_opts:
         return _GCLOCKER_OPTS
     if "GCLockerRetryAllocationCount" in caller_opts:
-        return caller_opts
+        if "-XX:+UnlockDiagnosticVMOptions" in caller_opts:
+            return caller_opts
+        return f"-XX:+UnlockDiagnosticVMOptions {caller_opts}"
     return f"{caller_opts} {_GCLOCKER_OPTS}"
 
 

@@ -44,12 +44,22 @@ _FROM = {
 }
 
 
+def _strip_sql_comments(sql: str) -> str:
+    """Remove -- line comments and /* */ block comments so a table name
+    mentioned only in prose never counts as 'touched' (round-9 advice:
+    comment drift silently changed the multi-table selection, and with
+    it pytest_shards.py's shard-weight estimate)."""
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
+    return re.sub(r"--[^\n]*", " ", sql)
+
+
 def _multi_table_entries():
     out = []
     for name, e in CATALOG.items():
         if e.sql is None:
             continue
-        touched = [t for t in _FUZZED if re.search(rf"\b{t}\b", e.sql)]
+        sql = _strip_sql_comments(e.sql)
+        touched = [t for t in _FUZZED if re.search(rf"\b{t}\b", sql)]
         if len(touched) >= 2:
             out.append(name)
     return sorted(out)
