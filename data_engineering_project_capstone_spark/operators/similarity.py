@@ -170,39 +170,55 @@ def ivf_topk(
     # costs one shuffle at fit time only — training is already the
     # expensive step, and at scale the quantizer trains on a sample.
     n_distinct = c.select("c_vec").distinct().count()
-    km = KMeans(k=max(1, min(n_cells, n_distinct)), seed=seed, maxIter=10)
-    model = km.fit(c.select("features"))
-    c = model.transform(c).withColumnRenamed("prediction", "cell")
-
-    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-
-    def _dist2(vec: Column, center: list[float]) -> Column:
-        # squared L2 to a literal centroid, sequential fold
-        ctr = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, ctr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("qd", F.transform(F.col("q_vec"), lambda x: x.cast("double")))
-    cell_dists = F.array(
-        *[
-            F.struct(_dist2(F.col("qd"), ctr).alias("d"), F.lit(i).alias("cell"))
-            for i, ctr in enumerate(centers)
-        ]
-    )
-    q = (
-        q.withColumn("probe", F.slice(F.array_sort(cell_dists), 1, n_probe))
-        .select(
+
+    if n_distinct < 2:
+        # 0 or 1 distinct vectors: a coarse quantizer is meaningless and
+        # Spark ML KMeans rejects k < 2 outright — one cell holds the
+        # whole (possibly empty) corpus and every query probes it.
+        # Caught by the empty/all-NULL degenerate net.
+        c = c.withColumn("cell", F.lit(0))
+        q = q.select(
             "query_id",
             F.col("qd").alias("q_vec"),
-            F.explode(F.col("probe.cell")).alias("cell"),
+            F.lit(0).alias("cell"),
+        ).withColumn("q_n", norm_of("q_vec"))
+    else:
+        km = KMeans(k=min(n_cells, n_distinct), seed=seed, maxIter=10)
+        model = km.fit(c.select("features"))
+        c = model.transform(c).withColumnRenamed("prediction", "cell")
+
+        centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+        def _dist2(vec: Column, center: list[float]) -> Column:
+            # squared L2 to a literal centroid, sequential fold
+            ctr = F.array(*[F.lit(x) for x in center])
+            return F.aggregate(
+                F.zip_with(vec, ctr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        cell_dists = F.array(
+            *[
+                F.struct(
+                    _dist2(F.col("qd"), ctr).alias("d"), F.lit(i).alias("cell")
+                )
+                for i, ctr in enumerate(centers)
+            ]
         )
-        .withColumn("q_n", norm_of("q_vec"))
-    )
+        q = (
+            q.withColumn("probe", F.slice(F.array_sort(cell_dists), 1, n_probe))
+            .select(
+                "query_id",
+                F.col("qd").alias("q_vec"),
+                F.explode(F.col("probe.cell")).alias("cell"),
+            )
+            .withColumn("q_n", norm_of("q_vec"))
+        )
     scored = (
         c.withColumn("c_vec", as_double(F.col("c_vec")))
         .withColumn("c_n", norm_of("c_vec"))

@@ -466,8 +466,14 @@ def shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "first_doc",
         "last_doc",
+        # try_divide: an all-empty-docs corpus (all-NULL degenerate net)
+        # gives every shard zero tokens, so the mean load is 0 and ANSI
+        # `/` would throw; DuckDB's `/ 0` yields NULL — NULL on both.
         ieee_round(
-            F.col("total_tokens") / F.avg("total_tokens").over(w_all), 4
+            F.try_divide(
+                F.col("total_tokens"), F.avg("total_tokens").over(w_all)
+            ),
+            4,
         ).alias("load_ratio"),
     ).orderBy("shard_id")
 
@@ -758,8 +764,11 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
     )
+    # coalesce: on an EMPTY corpus the global sum over zero shard rows
+    # is NULL while the oracle's count(*) is 0 (empty degenerate net);
+    # the sketch estimate over an empty union is already 0.0
     corpus = shard_sk.groupBy().agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
     ).select(F.lit("__ALL__").alias("source"), "n_docs", "est")
     exact_src = docs.groupBy("source").agg(

@@ -438,7 +438,12 @@ def logreg_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("lang").alias("top_lang"))
     )
-    base = docs.crossJoin(F.broadcast(top_lang)).select(
+    # LEFT join on TRUE = scalar-subquery semantics: when every lang is
+    # NULL (all-NULL degenerate net) top_lang is EMPTY, and a crossJoin
+    # would wipe out all docs while the oracle's (SELECT lang FROM
+    # top_lang) yields NULL and keeps them — every doc then scores as
+    # the negative class via the coalesce below, identically.
+    base = docs.join(F.broadcast(top_lang), F.lit(True), "left").select(
         "doc_id",
         # NULL lang scores as the negative class on both sides (a doc
         # with no language is certainly not the majority language)

@@ -65,6 +65,13 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     k = states.count()  # |types| — tiny by construction
+    if k == 0:
+        # no transitions at all (empty/all-NULL events): zero states,
+        # zero output rows — matching the oracle, whose state CTE is
+        # empty. Without this, 1.0/k is an ANSI divide-by-zero.
+        return spark.createDataFrame(
+            [], "event_type string, stationary_prob double"
+        )
     v = states.select("state", (F.lit(1.0) / k).alias("v"))
     for _ in range(_MARKOV_ITERS):
         terms = mat.join(

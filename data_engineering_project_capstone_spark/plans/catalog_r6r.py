@@ -153,14 +153,22 @@ top AS (
     FROM tk
     ORDER BY freq DESC, tok
     LIMIT {_ZIPF_TOP}
+),
+fit AS (
+    -- global aggregate: exactly ONE row even when top is empty (an
+    -- empty/all-NULL corpus), matching the Spark side's top.agg();
+    -- the previous FROM top, vocab GROUP BY form emitted zero rows
+    -- there (empty/all-NULL degenerate net)
+    SELECT regr_slope(ln(freq), ln(rank)) AS slope,
+           regr_intercept(ln(freq), ln(rank)) AS icept,
+           count(*) AS n_terms
+    FROM top
 )
 SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
-       CAST((SELECT count(*) FROM top) AS BIGINT) AS n_terms,
-       {sql_ieee_round("regr_slope(ln(freq), ln(rank))", 4)} AS zipf_slope,
-       {sql_ieee_round("regr_intercept(ln(freq), ln(rank))", 4)}
-           AS zipf_intercept
-FROM top, vocab
-GROUP BY n_vocab
+       CAST(n_terms AS BIGINT) AS n_terms,
+       {sql_ieee_round("slope", 4)} AS zipf_slope,
+       {sql_ieee_round("icept", 4)} AS zipf_intercept
+FROM fit, vocab
 """
 
 

@@ -197,9 +197,15 @@ def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+    # pivot over the EXPLICIT fixed domain: (a) skips the extra
+    # distinct-values discovery job a bare pivot() runs, (b) the output
+    # schema is static even when the filtered input is EMPTY — a bare
+    # pivot on zero rows yields zero priority columns and the
+    # composition fold below would have nothing to sum (empty/all-NULL
+    # degenerate net).
     comp = (
         by_mp.groupBy("m")
-        .pivot("o_orderpriority")
+        .pivot("o_orderpriority", list(_MIX_PRIOS))
         .sum("cnt")
         .na.fill(0)
     )
