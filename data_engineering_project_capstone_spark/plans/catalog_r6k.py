@@ -184,9 +184,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_customers"),
-            ieee_round(F.avg(F.col("mon_cents") / 100.0), 2).alias(
-                "avg_monetary"
-            ),
+            # average from the EXACT integer cents sum at readout (the
+            # q1 pattern): avg(mon_cents/100.0) folds doubles in
+            # engine-specific order, and at sf0.1 a segment of 22
+            # customers landed the last ulp exactly on a 2dp boundary
+            # (…905 → Spark .91 vs DuckDB .9). Caught by the first
+            # full-catalog sf0.1 differential (round 10).
+            ieee_round(
+                F.sum("mon_cents") / F.lit(100.0) / F.count("*"), 2
+            ).alias("avg_monetary"),
         )
         .orderBy(F.desc("n_customers"), "segment")
     )
@@ -216,7 +222,7 @@ SELECT concat('R', r_score, 'F', f_score, 'M', m_score) AS segment,
 FROM scored
 GROUP BY 1
 ORDER BY n_customers DESC, segment
-""".format(avg_sql=sql_ieee_round("avg(mon_cents / 100.0)", 2))
+""".format(avg_sql=sql_ieee_round("sum(mon_cents) / 100.0 / count(*)", 2))
 
 
 # ---------------------------------------------------------------------------

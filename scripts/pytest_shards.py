@@ -32,6 +32,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # durations are swallowed by the report, so its weight is a
 # standalone wall measurement. Anything unlisted defaults to 5.
 WEIGHTS = {
+    "test_degenerate_empty_allnull.py": 130,  # 247 entries × 2 limit corpora
+    "test_schema_shape.py": 260,  # 247 entries × 2 physical layouts, sf0.001
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
     "test_fuzz_differential.py": 72,  # 27 entries × 2 seeded corpora

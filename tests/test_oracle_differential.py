@@ -72,8 +72,16 @@ def spark_results(spark, request):
     ~2 min in scheduler idle time. Only entries actually selected for
     this run (honoring -k) are prefetched, so targeted runs stay fast.
     Failures are stored and re-raised inside the owning test so
-    attribution is unchanged."""
+    attribution is unchanged.
+
+    SPARK_GRAFT_PREFETCH_THREADS tunes the pool (default 8): at sf0.1
+    eight concurrent heavies stack enough simultaneous broadcast /
+    shuffle state to kill an 8g driver JVM mid-run (observed twice in
+    round 10: ~190 ConnectionRefused cascades); the full-catalog sf0.1
+    pass runs with 4 threads and a bigger SPARK_GRAFT_DRIVER_MEM."""
     from concurrent.futures import ThreadPoolExecutor
+
+    n_threads = int(os.environ.get("SPARK_GRAFT_PREFETCH_THREADS", "8"))
 
     selected = {
         item.callspec.params["name"]
@@ -89,7 +97,7 @@ def spark_results(spark, request):
         except Exception as exc:
             return name, exc
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
         return dict(pool.map(run, sorted(selected)))
 
 
