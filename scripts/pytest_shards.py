@@ -33,6 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # standalone wall measurement. Anything unlisted defaults to 5.
 WEIGHTS = {
     "test_degenerate_empty_allnull.py": 130,  # 247 entries × 2 limit corpora
+    "test_aqe_invariance.py": 200,  # 32 shuffle-sensitive entries × 2 sessions
     "test_schema_shape.py": 260,  # 247 entries × 2 physical layouts, sf0.001
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
