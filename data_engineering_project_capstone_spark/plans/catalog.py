@@ -3472,14 +3472,26 @@ def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     covar at 0dp (values ~1e4). Single partial+final hash-agg shuffle on a
     3-value key."""
     li = t(spark, sf_dir, "lineitem")
+    # corr as try_divide(covar, sx*sy), NOT native corr: Spark's ANSI
+    # corr THROWS DIVIDE_BY_ZERO on a zero-variance group (all-duplicate
+    # degenerate corpus) during the aggregate's own output projection —
+    # no post-agg when() can guard it — while DuckDB's corr yields NULL.
+    # Same co-moment inputs, so clean-data values agree to the last ulp
+    # band the 6dp rounding already absorbs; the oracle mirrors the
+    # formula.
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
             F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "qty_price_corr"
-            ),
+            F.round(
+                F.try_divide(
+                    F.covar_samp("l_quantity", "l_extendedprice"),
+                    F.stddev_samp("l_quantity")
+                    * F.stddev_samp("l_extendedprice"),
+                ),
+                6,
+            ).alias("qty_price_corr"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 0).alias(
                 "qty_price_covar"
             ),
@@ -3492,7 +3504,9 @@ AGG_STATS_FUNCS_SQL = """
 SELECT l_returnflag,
        round(stddev_samp(l_quantity), 6) AS qty_stddev,
        round(var_samp(l_quantity), 6) AS qty_var,
-       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice)
+             / (stddev_samp(l_quantity) * stddev_samp(l_extendedprice)),
+             6) AS qty_price_corr,
        round(covar_samp(l_quantity, l_extendedprice), 0) AS qty_price_covar
 FROM lineitem
 GROUP BY l_returnflag

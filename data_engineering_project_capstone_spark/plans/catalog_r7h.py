@@ -207,10 +207,14 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 1048576
     )
     drawn = drawn.withColumn("m", _multiplicity(u))
+    # a resample whose multiplicities all drew 0 has no mean — excluded
+    # on both engines (tiny-corpus limit: with ONE order, ~37 of the 100
+    # Poisson resamples are empty and s/n is an ANSI divide-by-zero;
+    # statistically impossible at any real scale, so a clean-data no-op)
     per_b = drawn.groupBy("b").agg(
         F.sum(F.col("m") * F.col("c")).alias("s"),
         F.sum("m").alias("n"),
-    )
+    ).filter(F.col("n") > 0)
     mean_b = per_b.select(
         (F.col("s") / F.col("n") / 100.0).alias("mu")
     )
@@ -259,6 +263,7 @@ per_b AS (
            sum(({_POIS_CASE}) * c) AS s,
            sum({_POIS_CASE}) AS n
     FROM drawn GROUP BY b
+    HAVING sum({_POIS_CASE}) > 0
 ),
 means AS (
     SELECT s * 1.0 / n / 100.0 AS mu,

@@ -19,6 +19,16 @@ the true boundary cases:
   all-NULL groups yield NULL (not 0), count(col)=0 while count(*)=6,
   date functions fold NULL, text/tokenizer pipelines see NULL text,
   embeddings ops see NULL vectors — in every group at once.
+- ``onerow``: exactly ONE real row per table. Every group has size 1,
+  every window partition is trivial, every quantile/percentile IS the
+  single value, ntile puts one row in bucket 1, lag/lead are NULL
+  everywhere, and regression/variance folds divide by n-1 = 0.
+- ``alldup``: six IDENTICAL copies of each table's first row
+  (duplicate PRIMARY KEYS included — the rawest tie density possible).
+  Every sort key ties, every rank is a 6-way tie, every distinct
+  collapses 6→1, self-joins fan out 36 pairs — any tie-break that
+  silently leans on partition order or engine sort stability shows
+  here first.
 
 Contract identical to the other nets: the Spark plan must execute,
 and where oracle SQL exists both engines must agree exactly (tolerant
@@ -66,6 +76,11 @@ def _build(kind: str, out_dir: str) -> None:
         real = pq.read_table(f"{REAL_SF}/{t}.parquet")
         if kind == "empty":
             shaped = real.slice(0, 0)
+        elif kind == "onerow":
+            shaped = real.slice(0, 1)
+        elif kind == "alldup":
+            one = real.slice(0, 1)
+            shaped = pa.concat_tables([one] * _N_ROWS)
         else:  # allnull
             n = min(_N_ROWS, real.num_rows)
             cols = []
@@ -78,7 +93,7 @@ def _build(kind: str, out_dir: str) -> None:
         pq.write_table(shaped, f"{out_dir}/{t}.parquet")
 
 
-@pytest.fixture(scope="module", params=["empty", "allnull"])
+@pytest.fixture(scope="module", params=["empty", "allnull", "onerow", "alldup"])
 def degen_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"degen_{request.param}")
     _build(request.param, str(d))
