@@ -125,6 +125,17 @@ def dup_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle's SELECT DISTINCT dedups shingles across the merged
     group; the Spark form counts per-row distinct shingles). Same
     discipline as shard_balance.
+
+    Duplicate-id policy (alldup corpus, r11): doc_id is the OUTPUT
+    identity, so multiple physical rows sharing an id are one document
+    — their shingle sets union. Without the `.distinct()` on
+    (doc_id, shingle) below, k copies of a doc emit k rows per shingle,
+    the window counts k > 1, and every shingle of a duplicated doc
+    reads "shared" while the oracle's SELECT DISTINCT collapses the
+    copies (r10's one red test). The distinct costs one extra hash
+    aggregate, but its map-side combine is near-free on real corpora:
+    shingles are already array_distinct per row, so pre-shuffle
+    duplicates exist only where ids are actually duplicated.
     """
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     # materialize the token array ONCE: referencing the split inside the
@@ -134,7 +145,7 @@ def dup_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 5)))
     )
-    pairs = tok.select("doc_id", F.explode(grams).alias("shingle"))
+    pairs = tok.select("doc_id", F.explode(grams).alias("shingle")).distinct()
     n_with = F.count("*").over(Window.partitionBy("shingle"))
     return (
         pairs.withColumn("n_docs_with", n_with)

@@ -214,12 +214,13 @@ def test_r5_bm25_broadcasts_stats(spark):
 
 def test_r5_dup_passage_single_shingle_shuffle(spark):
     """dup_passage counts via a whole-partition window over the shingle
-    key: exactly one Exchange on shingle + one on doc_id, and no
-    self-join of the exploded set (the 2.5×-slower shape)."""
+    key: one Exchange for the (doc_id, shingle) distinct (duplicate-id
+    identity, r11), one on shingle, one on doc_id — and no self-join of
+    the exploded set (the 2.5×-slower shape)."""
     plan = plan_of(spark, "dup_passage_docs")
-    # two hash shuffles (shingle window, doc_id agg); the third Exchange is
-    # the presentation orderBy's rangepartitioning
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # three hash shuffles (pair distinct, shingle window, doc_id agg); the
+    # fourth Exchange is the presentation orderBy's rangepartitioning
+    assert plan.count("Exchange hashpartitioning") == 3, plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan
 
