@@ -109,7 +109,7 @@ def q1_avg_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -142,7 +142,7 @@ def q2_count_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name", "r_name")
@@ -170,7 +170,7 @@ def q3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     per_nation = (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("cnt"))
@@ -437,7 +437,7 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
@@ -627,7 +627,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     joined = orders.join(
-        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        customer, orders["o_custkey"] == customer["c_custkey"]
     )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("o_totalprice").desc_nulls_last(),
@@ -3712,7 +3712,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"], "left_semi")
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",

@@ -51,7 +51,7 @@ def _with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
         )
-        .join(F.broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
         .select("o_orderkey", F.col("c_nationkey").alias("g"), "c")
     )
 

@@ -104,7 +104,7 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
         )
-        .join(F.broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
         .select(F.col("c_nationkey").alias("g"), "c", "o_orderkey")
     )
     w = Window.partitionBy("g").orderBy("c", "o_orderkey")

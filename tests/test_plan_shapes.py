@@ -62,11 +62,16 @@ def final_plan_of(spark, name: str) -> str:
 
 
 def test_flagship_joins_broadcast(spark):
+    # r11: the explicit F.broadcast(customer) hints are gone — customer is
+    # an SF-scaling table (150k×SF rows; ~1.5B at the 100 TB design point)
+    # and a forced hint would OOM there. This asserts the q16 pattern
+    # instead: at test scale, STATS choose the broadcast; at 100 TB, AQE
+    # shuffles the same plan. Only bounded dims (nation/region) keep hints.
     for name in ["q1_avg_price_by_nation", "q2_count_by_nation_region",
                  "q3_pct_of_total", "join_multiway_revenue"]:
         plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
-        assert "SortMergeJoin" not in plan, f"{name}: no SMJ on dim joins"
+        assert "BroadcastHashJoin" in plan, f"{name}: stats must broadcast dims"
+        assert "SortMergeJoin" not in plan, f"{name}: no SMJ at test scale"
 
 
 def test_filters_pushed_to_scan(spark):
