@@ -102,7 +102,7 @@ def test_split_no_leakage_distribution(spark):
 
     row = split_no_leakage(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["n_leaky_clusters"] == 0
-    assert row["all_docs_assigned"]
+    assert row["n_coverage_violations"] == 0
     assert row["n_docs"] == 500
     # 3-way coverage is a DATA-dependent property (false on a 6-doc
     # corpus), so it lives here at real scale, not in the oracle row

@@ -48,9 +48,37 @@ def _strip_sql_comments(sql: str) -> str:
     """Remove -- line comments and /* */ block comments so a table name
     mentioned only in prose never counts as 'touched' (round-9 advice:
     comment drift silently changed the multi-table selection, and with
-    it pytest_shards.py's shard-weight estimate)."""
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
-    return re.sub(r"--[^\n]*", " ", sql)
+    it pytest_shards.py's shard-weight estimate). Literal-aware (r10
+    advice): a '--' inside a SQL string literal is content, not a
+    comment — a pure-regex strip would eat the rest of that line and
+    with it any table names after the literal."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal; '' is the escaped quote
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif sql.startswith("--", i):
+            nl = sql.find("\n", i)
+            out.append(" ")
+            i = n if nl == -1 else nl
+        elif sql.startswith("/*", i):
+            end = sql.find("*/", i)
+            out.append(" ")
+            i = n if end == -1 else end + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _multi_table_entries():

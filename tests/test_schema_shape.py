@@ -101,13 +101,22 @@ def spark_results(spark, shape_dir, request):
 
 
 @pytest.fixture(scope="module")
-def rows_only_baseline(spark):
-    """Row counts of the rows-only entries on the ORIGINAL layout."""
-    out = {}
-    for name, e in CATALOG.items():
-        if e.sql is None:
-            out[name] = e.spark_fn(spark, REAL_SF).count()
-    return out
+def rows_only_baseline(spark, request):
+    """Row counts of the rows-only entries on the ORIGINAL layout —
+    restricted to the names actually selected for this run (mirrors the
+    spark_results selection, so a -k subset doesn't pay for the full
+    rows-only sweep; advisor r10)."""
+    selected = {
+        item.callspec.params["name"]
+        for item in request.session.items
+        if item.function.__name__ == "test_entry_layout_invariant"
+        and hasattr(item, "callspec")
+    }
+    return {
+        name: CATALOG[name].spark_fn(spark, REAL_SF).count()
+        for name in sorted(selected)
+        if CATALOG[name].sql is None
+    }
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
