@@ -924,14 +924,24 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH engines (the oracle's PARTITION BY p.event_id would
     collapse two NULL-id purchases into one row while the operator
     keeps both — random-events fuzz net); the operator itself drops
-    timeless/keyless RIGHT rows (see asof_join)."""
+    timeless/keyless RIGHT rows (see asof_join). Duplicate-id policy
+    (mixdup corpus, r11): physical copies of a purchase are ONE output
+    row — the `.distinct()` below collapses them, as the oracle's
+    PARTITION BY p.event_id already does; without it k copies emit k
+    identical rows. One extra map-combined hash agg, nearly free: ids
+    are near-unique, so pre-shuffle combine removes almost nothing
+    and the exchange carries the same rows the asof shuffle would."""
     from ..operators.asof import asof_join
 
     ev = events_table(spark, sf_dir)
-    purchases = ev.filter(
-        (F.col("event_type") == "purchase")
-        & F.col("event_id").isNotNull()
-    ).select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("event_id").isNotNull()
+        )
+        .select("event_id", "user_id", "ts")
+        .distinct()
+    )
     signups = ev.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", "event_id", "value"
     )

@@ -51,11 +51,17 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
     # keyless purchases excluded on both engines: the output row is
     # identified by purchase event_id and the oracle's PARTITION BY
-    # p.event_id collapses NULL ids (see join_asof_events)
-    purchases = ev.filter(
-        (F.col("event_type") == "purchase")
-        & F.col("event_id").isNotNull()
-    ).select("event_id", "user_id", "ts")
+    # p.event_id collapses NULL ids; distinct collapses duplicate-id
+    # physical copies the same way (mixdup corpus — see
+    # join_asof_events for both policies)
+    purchases = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("event_id").isNotNull()
+        )
+        .select("event_id", "user_id", "ts")
+        .distinct()
+    )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )

@@ -32,7 +32,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # durations are swallowed by the report, so its weight is a
 # standalone wall measurement. Anything unlisted defaults to 5.
 WEIGHTS = {
-    "test_degenerate_empty_allnull.py": 130,  # 247 entries × 2 limit corpora
+    # 247 entries × 5 limit corpora (r11: +onerow/alldup/mixdup since the
+    # 130-weight measurement); ~70s per corpus sweep + startup, measured
+    # from a single-corpus -k run on an otherwise idle host
+    "test_degenerate_empty_allnull.py": 380,
     "test_aqe_invariance.py": 200,  # 32 shuffle-sensitive entries × 2 sessions
     "test_schema_shape.py": 260,  # 247 entries × 2 physical layouts, sf0.001
     "test_degenerate_docs.py": 189,

@@ -29,6 +29,14 @@ the true boundary cases:
   collapses 6→1, self-joins fan out 36 pairs — any tie-break that
   silently leans on partition order or engine sort stability shows
   here first.
+- ``mixdup`` (r10 verdict ask #7a): the first THREE distinct rows,
+  each duplicated twice ([0,0,1,1,2,2]) — alldup's tie density with
+  NON-TRIVIAL groups. Unlike alldup, sort keys now mix ties with real
+  order (a tie group has neighbors above and below), distincts
+  collapse 6→3 (not 6→1), grouped aggregates see k=2 multiplicity
+  inside k=3 genuine groups, and joins fan out 2×2 per matched key
+  instead of 6×6 on a single key — the regime where a wrong tiebreak
+  can REORDER groups rather than collapse into one.
 
 Contract identical to the other nets: the Spark plan must execute,
 and where oracle SQL exists both engines must agree exactly (tolerant
@@ -81,6 +89,11 @@ def _build(kind: str, out_dir: str) -> None:
         elif kind == "alldup":
             one = real.slice(0, 1)
             shaped = pa.concat_tables([one] * _N_ROWS)
+        elif kind == "mixdup":
+            k = min(3, real.num_rows)
+            shaped = pa.concat_tables(
+                [real.slice(i, 1) for i in range(k) for _ in range(2)]
+            )
         else:  # allnull
             n = min(_N_ROWS, real.num_rows)
             cols = []
@@ -93,7 +106,9 @@ def _build(kind: str, out_dir: str) -> None:
         pq.write_table(shaped, f"{out_dir}/{t}.parquet")
 
 
-@pytest.fixture(scope="module", params=["empty", "allnull", "onerow", "alldup"])
+@pytest.fixture(
+    scope="module", params=["empty", "allnull", "onerow", "alldup", "mixdup"]
+)
 def degen_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"degen_{request.param}")
     _build(request.param, str(d))
