@@ -290,9 +290,12 @@ def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow at any SF. Exactness envelope: the two integer types
     diverge only in FAILURE MODE, not in value — past ~1e35 revenue
     units (~1e24 TB of data; unreachable) `v * 1000` overflows
-    decimal(38,0), which Spark's non-ANSI mode returns as NULL (row
-    silently dropped by the filter) while DuckDB's 128-bit HUGEINT
-    raises. Same convention as the r7 spearman 4n^4 saturation note."""
+    decimal(38,0), which ANSI-on Spark (this engine's setting, Spark 4
+    default) raises as NUMERIC_VALUE_OUT_OF_RANGE while DuckDB's
+    128-bit HUGEINT raises its own conversion error — both loud, never
+    a silent wrong answer. Same convention as the r7 spearman 4n^4
+    saturation note (corrected r11: an earlier note claimed non-ANSI
+    NULL-on-overflow; the session runs ANSI ON engine-wide)."""
     sup = (
         t(spark, sf_dir, "supplier")
         .join(

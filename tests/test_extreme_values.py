@@ -1,0 +1,199 @@
+"""Extreme-value corpora against the DECIMAL(38,0) fold inventory
+(SCALE.md "Integer-fold overflow policy"; round-10 verdict ask #7b).
+
+The exact-money idiom's whole reason to exist is the regime where an
+int64 fold would wrap — group sums past 2^63 — but every prior net runs
+at TPC-H magnitudes (prices ≤ 1e5), where int64 never comes close. These
+corpora push the money columns to the documented envelope edges and
+require the two engines' 128-bit paths (Spark DECIMAL(38,0) vs DuckDB
+HUGEINT) to agree EXACTLY:
+
+- ``bigmoney``: prices ±2^43 (cents = 2^43·100 ≈ 8.8e14, exact in
+  double: 25·2^45). Per-row charge units cents·(100−disc)·(100+tax)
+  with disc=tax=0 are ≈ 8.8e18 — inside int64 (the per-row contract:
+  Spark's unit multiply runs in LONG before the decimal cast) — while
+  the 6-row GROUP SUM ≈ 5.3e19 exceeds int64 by 6×: exactly the sums
+  the DECIMAL(38,0) fold was adopted for. One negative-price row per
+  table probes the ± sign envelope and keeps sums from telescoping.
+- ``maxcents``: prices ±2^56 (cents = 2^56·100 ≈ 7.2e18, the int64
+  EDGE — within 22% of 2^63−1, still an exact double: 25·2^58). Only
+  the PURE operand-cast family runs here (moment folds that cast to
+  DECIMAL(38,0) BEFORE any multiply or sum, so no int64 step touches
+  the cents): mann_whitney_u, spearman_corr, orders_acf. Excluded by
+  documented contract: the unit-fold entries (their per-row multiply
+  runs in LONG — cents·100 exceeds 2^63 here), orders_gini and
+  cusum_drift (both keep a deliberate int64 Σcents FIRST moment whose
+  premise is cents-scale money — probed live: ANSI Spark raises
+  ARITHMETIC_OVERFLOW at this magnitude, a loud abort, never a wrong
+  value, while DuckDB's HUGEINT sum proceeds), and the kept-int64
+  family q6/q15/q10/q3 (same cents-scale premise, both corpora).
+
+Readout ratios divide exact integers through double casts; operands
+here exceed 2^53, so the casts round — but both engines perform the
+SAME round-to-nearest conversion of the SAME exact integer (Spark
+Decimal.toDouble via BigDecimal, DuckDB hugeint→double), so results
+stay bit-identical. This property is load-bearing for 100 TB (real
+group sums exceed 2^53 long before they exceed 2^63) and is exercised
+nowhere else in the suite.
+
+1e308-double prices were probed and are NOT a corpus here: cents =
+round(1e308·100) = +inf, and BOTH engines refuse the inf→int64
+conversion loudly (ANSI-on Spark raises CAST_OVERFLOW — the session
+runs ANSI engine-wide — and DuckDB raises its ConversionException):
+a shared fail-loud boundary, never a silent wrong answer. Pinned by
+test_hugedouble_boundary_is_structural below so an engine upgrade
+that softens either side surfaces immediately.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+from degen_util import run_oracle
+from test_oracle_differential import TABLES, _rowset
+
+REAL_SF = "/root/testdata/sf0.001"
+
+# money columns per table (doubles holding currency; quantities stay
+# real so rank/weight folds keep realistic operands)
+_MONEY = {
+    "lineitem": ["l_extendedprice"],
+    "orders": ["o_totalprice"],
+    "part": ["p_retailprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+}
+# zeroed so the unit folds' per-row LONG multiply keeps its documented
+# headroom at bigmoney magnitudes (disc/tax grids would push
+# cents·(100−disc)·(100+tax) past 2^63)
+_ZERO = {"lineitem": ["l_discount", "l_tax"]}
+
+_N_ROWS = 6
+
+# the full DECIMAL(38,0) unit-fold inventory (SCALE.md) — must agree
+# exactly at bigmoney magnitudes
+BIGMONEY_ENTRIES = [
+    "q1_pricing_summary",
+    "q5_local_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_proxy",
+    "q11_important_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_join",
+    "revenue_pareto",
+    "abc_classification",
+    # operand-cast rank/moment folds run at both magnitudes
+    "orders_gini",
+    "mann_whitney_u",
+    "spearman_corr",
+    "orders_acf",
+    "cusum_drift",
+]
+
+# pure operand-cast family: every product AND sum over cents runs in
+# decimal, so int64-edge cents are inside the documented envelope
+# (orders_gini/cusum_drift keep an int64 Σcents first moment — out;
+# see module doc)
+MAXCENTS_ENTRIES = [
+    "mann_whitney_u",
+    "spearman_corr",
+    "orders_acf",
+]
+
+
+def _build(kind: str, out_dir: str) -> None:
+    """Six real rows per table with money columns rewritten to the
+    corpus magnitude; row 3 goes negative (sign envelope + no
+    telescoping to zero)."""
+    mag = {"bigmoney": float(2**43), "maxcents": float(2**56)}[kind]
+    for t in TABLES:
+        real = pq.read_table(f"{REAL_SF}/{t}.parquet")
+        n = min(_N_ROWS, real.num_rows)
+        shaped = real.slice(0, n)
+        cols = {f.name: shaped.column(f.name) for f in shaped.schema}
+        for c in _MONEY.get(t, []):
+            # vary by ±1 ulp-of-2^k steps so groups aren't all-tied:
+            # mag, mag, mag/2, -mag, mag/4, mag
+            vals = [mag, mag, mag / 2, -mag, mag / 4, mag][:n]
+            cols[c] = pa.array(vals, type=pa.float64())
+        for c in _ZERO.get(t, []):
+            cols[c] = pa.array([0.0] * n, type=pa.float64())
+        pq.write_table(
+            pa.table([cols[f.name] for f in shaped.schema], schema=shaped.schema),
+            f"{out_dir}/{t}.parquet",
+        )
+
+
+@pytest.fixture(scope="module", params=["bigmoney", "maxcents"])
+def money_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"money_{request.param}")
+    _build(request.param, str(d))
+    return request.param, str(d)
+
+
+def _names_for(kind: str) -> list[str]:
+    return BIGMONEY_ENTRIES if kind == "bigmoney" else MAXCENTS_ENTRIES
+
+
+@pytest.mark.parametrize("name", sorted(set(BIGMONEY_ENTRIES)))
+def test_decimal_fold_exact_at_extreme_magnitude(spark, money_dir, name):
+    kind, d = money_dir
+    if name not in _names_for(kind):
+        pytest.skip(f"{name}: outside the {kind} contract (see module doc)")
+    entry = CATALOG[name]
+    sdf = entry.spark_fn(spark, d)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    ddb_cols, ddb_rows = run_oracle(d, entry.sql)
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count differs on {kind} corpus "
+        f"(spark={len(spark_rows)} duck={len(ddb_rows)})"
+    )
+    sset = _rowset(spark_rows, spark_cols)
+    dset = _rowset(ddb_rows, ddb_cols)
+    mism = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b][:3]
+    assert sset == dset, (
+        f"{name}: values differ on {kind} corpus; first mismatches at "
+        f"sorted idx {mism}: "
+        + "; ".join(f"spark={sset[i]} duck={dset[i]}" for i in mism)
+    )
+
+
+def test_hugedouble_boundary_is_structural(spark):
+    """1e308 money pins the shared fail-loud boundary: the cents
+    extraction round(price·100) is +inf in double, and BOTH engines
+    refuse inf→int64 loudly (the session runs Spark 4's ANSI default
+    engine-wide — SCALE.md 'ansi_safe_casts'). Asserting both halves
+    means an engine upgrade that softens either side (saturation or a
+    silent NULL) surfaces here, not as a quiet oracle mismatch."""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ArithmeticException, match="CAST_OVERFLOW"):
+        spark.range(1).select(
+            F.round(F.lit(1e308) * 100, 0).cast("long").alias("cents")
+        ).collect()
+
+    import duckdb
+
+    with pytest.raises(duckdb.ConversionException):
+        duckdb.sql("SELECT CAST(round(1e308 * 100, 0) AS BIGINT)").fetchall()
+
+
+def test_int64_first_moment_aborts_loudly_at_edge_cents(spark, tmp_path):
+    """The flip side of the maxcents exclusions: orders_gini's int64
+    Σcents first moment must ABORT (ANSI ARITHMETIC_OVERFLOW) at
+    int64-edge cents, not produce a wrapped value. Loud-failure is the
+    documented contract for magnitudes outside the cents-scale premise."""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    d = tmp_path / "edge"
+    d.mkdir()
+    _build("maxcents", str(d))
+    with pytest.raises(ArithmeticException):
+        CATALOG["orders_gini"].spark_fn(spark, str(d)).collect()
