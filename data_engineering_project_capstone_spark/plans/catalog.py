@@ -17,6 +17,20 @@ Cross-engine parity rules (hard-won, keep these):
   double → string cast; use printf-style formatting on both sides.
 - **Null parity**: Spark ``pivot`` yields null for empty cells where a
   SQL ``COUNT(CASE...)`` yields 0 → coalesce the Spark side.
+- **Regex-class parity** (r11, found by tests/test_weirdtext.py): Java
+  ``\\s`` is ``[ \\t\\n\\x0b\\f\\r]`` but RE2's lacks the VERTICAL TAB
+  (and ``\\S`` the complement) — a document containing ``\\x0b``
+  tokenizes differently. The Spark side keeps the idiomatic ``\\s+``;
+  every ORACLE regex spells the class out explicitly
+  (``[ \\t\\n\\x0b\\f\\r]+``), including ``\\s`` embedded in bigger
+  classes (text_bpe_count) and ``\\S`` complements (text_readability).
+  Never write bare ``\\s``/``\\S`` in oracle SQL.
+- **Unicode envelope** (r11): case-folding with SPECIAL mappings
+  (İ, ß, ligatures, final sigma), ``levenshtein`` (code points vs
+  UTF-8 bytes) and ``reverse`` (code points vs graphemes) are
+  engine-structural — kept out of oracle-paired text paths; the
+  divergences are machine-pinned in
+  tests/test_weirdtext.py::test_string_semantics_envelope.
 
 Scale notes are on each entry: which side broadcasts, where the shuffle
 is, why the plan survives 1000 executors.
@@ -794,8 +808,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_TOKEN_STATS_SQL = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_computed,
-       CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(string_split_regex(trim(coalesce(text, '')), '\\s+'))) AS BIGINT)
+       CAST(len(string_split_regex(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT)
            AS n_unique_tokens
 FROM documents
 """
@@ -811,7 +825,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 
@@ -832,7 +846,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = """
-SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
 FROM documents
@@ -1391,7 +1405,7 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ARRAY_EXPLODE_SQL = """
 SELECT tok, count(*) AS freq
 FROM (
-    SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS tok
+    SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
     FROM documents
 )
 GROUP BY tok
@@ -1417,7 +1431,7 @@ def _lang_hits_sql(lang_words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in lang_words)
     return (
         "len(list_intersect(list_distinct("
-        "string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')), [" + arr + "]))"
+        "string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+')), [" + arr + "]))"
     )
 
 
@@ -1460,8 +1474,8 @@ SELECT doc_id,
        )} AS quality
 FROM (
     SELECT doc_id,
-           CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS DOUBLE) AS n_tok,
-           CAST(len(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'))) AS DOUBLE) AS n_uniq,
+           CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'))) AS DOUBLE) AS n_uniq,
            CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
            CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
     FROM documents
@@ -1479,7 +1493,7 @@ def text_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_BPE_COUNT_SQL = r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
@@ -1567,7 +1581,7 @@ WITH sh AS (
                    i -> array_to_string(toks[i:i+2], ' '))),
                    s -> s <> '') AS shingles
         FROM (SELECT doc_id,
-                     string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+                     string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
               FROM documents)
     )
 ),
@@ -1878,7 +1892,7 @@ SELECT count(*) FROM (
                        i -> array_to_string(toks[i:i+2], ' '))),
                        s -> s <> '') AS shingles
             FROM (SELECT doc_id,
-                         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+                         string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
                   FROM documents)
         )
     )
@@ -2273,7 +2287,7 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_TOKEN_BUDGET_SQL = r"""
 WITH toks AS (
     SELECT source, doc_id,
-           len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
+           len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS n_tok,
            md5(coalesce(text, '')) AS h
     FROM documents
     WHERE doc_id IS NOT NULL
@@ -2321,7 +2335,7 @@ _DUP_BIGRAM_EXPR = (
 TEXT_DUP_BIGRAMS_SQL = (
     r"""
 WITH t AS (
-    SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks
+    SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\x0b\f\r]+') AS toks
     FROM documents
 ), g AS (
     SELECT doc_id,
@@ -2362,7 +2376,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_HISTOGRAM_SQL = r"""
 WITH t AS (
-    SELECT len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok FROM documents
+    SELECT len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS n_tok FROM documents
 )
 SELECT CAST(floor(n_tok / 50) AS BIGINT) AS bucket,
        CAST(floor(n_tok / 50) AS BIGINT) * 50 AS lo_tokens,
@@ -2552,7 +2566,7 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_COUNTS_SQL = r"""
 WITH t AS (
-    SELECT string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks FROM documents
+    SELECT string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\x0b\f\r]+') AS toks FROM documents
 ), g AS (
     SELECT unnest(list_transform(
         range(1, greatest(len(toks) - 1, 1) + 1),
@@ -2912,7 +2926,7 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 POSEXPLODE_TOKENS_SQL = r"""
 WITH t AS (
-    SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS toks
+    SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\x0b\f\r]+') AS toks
     FROM documents WHERE doc_id < 50
 ), z AS (
     SELECT doc_id,
@@ -3170,7 +3184,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_TOP_TERMS_SQL = (
     r"""
 WITH toks AS (
-    SELECT doc_id, unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS term
+    SELECT doc_id, unnest(string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\x0b\f\r]+')) AS term
     FROM documents
 ), tok AS (
     SELECT * FROM toks WHERE term <> ''
@@ -3835,7 +3849,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQUENCES_SQL = r"""
 WITH toks AS (
     SELECT lang, doc_id,
-           len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok,
+           len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS n_tok,
            md5(coalesce(text, '')) AS h
     FROM documents
     WHERE doc_id IS NOT NULL
@@ -3884,9 +3898,9 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_SQL_WORDS = r"string_split_regex(trim(coalesce(text, '')), '\s+')"
+_SQL_WORDS = r"string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')"
 _SQL_MEAN_WL = sql_ieee_round(
-    r"length(regexp_replace(coalesce(text, ''), '\s+', '', 'g')) * 1.0 / len(" + _SQL_WORDS + ")", 6
+    r"length(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', '', 'g')) * 1.0 / len(" + _SQL_WORDS + ")", 6
 )
 _SQL_DUP_FRAC = sql_ieee_round(
     "1.0 - len(list_distinct(" + _SQL_WORDS + ")) * 1.0 / len(" + _SQL_WORDS + ")", 6
@@ -3989,9 +4003,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SQL = r"""
 WITH w AS (
-    SELECT doc_id, source, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+    SELECT doc_id, source, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+') AS w
     FROM documents
-    WHERE len(string_split_regex(trim(coalesce(text, '')), '\s+')) >= 5
+    WHERE len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) >= 5
 ), g AS (
     SELECT DISTINCT doc_id, source,
            array_to_string(list_slice(w, i, i + 4), ' ') AS g
@@ -4120,7 +4134,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_DOCUMENTS_SQL = r"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+') AS w FROM documents
 ), s AS (
     SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 10, 1), 40)) AS s
     FROM w

@@ -46,7 +46,7 @@ def _toks():
     )
 
 
-_SQL_TOKS = r"string_split_regex(lower(trim(coalesce(text, ''))), '\s+')"
+_SQL_TOKS = r"string_split_regex(lower(trim(coalesce(text, ''))), '[ \t\n\x0b\f\r]+')"
 
 
 # ---------------------------------------------------------------------------
@@ -630,7 +630,7 @@ _QC_GRAMS = (
 )
 _QC_DUP = rf"(1.0 - len(list_distinct({_QC_GRAMS})) * 1.0 / greatest(len({_QC_GRAMS}), 1))"
 _QC_WLEN = (
-    rf"(length(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', '', 'g')) * 1.0"
+    rf"(length(regexp_replace(lower(trim(coalesce(text, ''))), '[ \t\n\x0b\f\r]+', '', 'g')) * 1.0"
     rf" / greatest({_QC_NTOK}, 1.0))"
 )
 _QC_SCORE = sql_ieee_round(

@@ -393,15 +393,15 @@ WITH gated AS (
                "/ len(" + _SQL_TOKS + ") ELSE 0.0 END)",
                4,
            )} AS q,
-           len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n_tok
+           len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) AS n_tok
     FROM documents
     WHERE doc_id IS NOT NULL
-      AND len(string_split_regex(trim(coalesce(text, '')), '\s+')) >= 20
-      AND length(regexp_replace(coalesce(text, ''), '\s+', '', 'g')) * 1.0
-          / len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+      AND len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) >= 20
+      AND length(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', '', 'g')) * 1.0
+          / len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+'))
           BETWEEN 2.0 AND 10.0
-      AND 1.0 - len(list_distinct(string_split_regex(trim(coalesce(text, '')), '\s+')))
-          * 1.0 / len(string_split_regex(trim(coalesce(text, '')), '\s+')) <= 0.8
+      AND 1.0 - len(list_distinct(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')))
+          * 1.0 / len(string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+')) <= 0.8
 ), deduped AS (
     SELECT * FROM (
         SELECT gated.*,

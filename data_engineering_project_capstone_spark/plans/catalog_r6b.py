@@ -714,7 +714,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle mirrors operators.dedup.normalized_fingerprint: md5 of
 # lowercased whitespace-collapsed trimmed text, NULL coalesced to ''.
 _FP_SQL = (
-    "md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))"
+    "md5(regexp_replace(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 )
 
 DEDUP_SOFT_WEIGHTS_SQL = f"""

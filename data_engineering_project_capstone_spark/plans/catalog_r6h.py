@@ -146,7 +146,7 @@ WITH sh AS (
                    i -> array_to_string(toks[i:i+2], ' '))),
                    s -> s <> '') AS shingles
         FROM (SELECT doc_id,
-                     string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+                     string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
               FROM documents)
     )
     WHERE len(shingles) > 0

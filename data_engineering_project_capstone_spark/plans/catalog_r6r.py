@@ -68,7 +68,8 @@ def _sql_groups(col: str, pattern: str) -> str:
     )
 
 
-_SQL_WORD_GROUPS = _sql_groups("low", r"\S+")
+# Java \S == [^ \t\n\x0b\f\r]; RE2 \S lacks the VT — pin explicitly
+_SQL_WORD_GROUPS = _sql_groups("low", r"[^ \t\n\x0b\f\r]+")
 
 
 TEXT_READABILITY_SQL = f"""

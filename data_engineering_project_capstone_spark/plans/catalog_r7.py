@@ -508,11 +508,11 @@ CALIBRATION_CURVE_SQL = f"""
 -- tiebreak, mirroring the Spark window
 WITH base AS (
     SELECT doc_id,
-           CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS DOUBLE) AS n_tok,
-           CAST(len(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'))) AS DOUBLE) AS n_uniq,
+           CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+'))) AS DOUBLE) AS n_uniq,
            CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
            CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-           md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+           md5(regexp_replace(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
     FROM documents
 ),
 flagged AS (

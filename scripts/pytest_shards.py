@@ -37,6 +37,7 @@ WEIGHTS = {
     # from a single-corpus -k run on an otherwise idle host
     "test_degenerate_empty_allnull.py": 380,
     "test_extreme_values.py": 38,  # 2 money corpora over the fold inventory
+    "test_weirdtext.py": 105,  # 68 docs consumers × control-char corpus
     "test_aqe_invariance.py": 200,  # 32 shuffle-sensitive entries × 2 sessions
     "test_schema_shape.py": 260,  # 247 entries × 2 physical layouts, sf0.001
     "test_degenerate_docs.py": 189,
