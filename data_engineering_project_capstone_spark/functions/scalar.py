@@ -74,10 +74,24 @@ def ieee_round(col: Column | str, scale: int = 2) -> Column:
     pure IEEE multiply/add/floor/divide, so for bit-identical inputs every
     engine produces bit-identical output. Use for row-level money rounding
     wherever results are compared across engines.
+
+    Totality guard (r11, found by the NaN/inf events fuzz): Spark's
+    ``floor(double)`` returns LONG and SATURATES silently — NaN→0,
+    ±inf→±2^63, any |y|≥2^63→2^63−1 — where DuckDB's floor stays double
+    (NaN→NaN, inf→inf, big→identity). For |y| ≥ 2^63 a double has no
+    fractional part (integers only from 2^52 up), so floor is the
+    IDENTITY there and the guard branch returns ``y/m`` — the identical
+    IEEE op sequence DuckDB executes, bit-for-bit, over the entire
+    double domain including NaN and ±inf. Below the guard Spark's
+    long-floor is exact. The DuckDB twin (``sql_ieee_round``) needs no
+    guard. One extra codegen branch per rounding; no measurable cost.
     """
     c = F.col(col) if isinstance(col, str) else col
     m = F.lit(float(10**scale))
-    return F.floor(c * m + F.lit(0.5)) / m
+    y = c * m + F.lit(0.5)
+    return F.when(
+        F.isnan(c) | (F.abs(y) >= F.lit(float(2**63))), y / m
+    ).otherwise(F.floor(y) / m)
 
 
 def split_part_col(col: Column | str, sep: str, idx: int) -> Column:

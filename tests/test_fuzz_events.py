@@ -39,7 +39,12 @@ _TS = [
     None,
 ]
 _TYPES = ["click", "view", "purchase", "signup", "weird", "", None]
-_VALUES = [0.0, 1.5, -2.0, 128.125, 128.125, None]
+# NaN/±inf added r11: comparison/min/max/avg/round semantics probed
+# identical cross-engine (both treat NaN as largest and NaN-equal);
+# only string RENDERING differs ('Infinity' vs 'inf'), which the
+# parity rules already forbid in oracle outputs
+_VALUES = [0.0, 1.5, -2.0, 128.125, 128.125, None,
+           float("nan"), float("inf"), float("-inf")]
 _PROPS = ['{"k": 1}', '{"k": 2, "s": "x"}', "not json", "{}", "", None]
 
 
