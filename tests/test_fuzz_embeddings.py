@@ -44,6 +44,13 @@ def _pool(rng: np.random.RandomState) -> list[list[float] | None]:
     pool.append([-x for x in base[0]])            # antipode (cos=-1)
     pool.append(list(base[1]))                    # exact duplicate
     pool.append(None)                             # NULL embedding
+    # NaN/inf COMPONENTS are deliberately NOT in the pool: the
+    # embeddings-net contract (degen_util.assert_embeddings_entry_
+    # matches) asserts no NaN/inf ESCAPES into any result — a
+    # non-finite component is an upstream-pipeline bug the data
+    # contract excludes, same convention as NaN money. The boundary
+    # itself (NaN propagates to NaN identically on both engines) is
+    # pinned by test_nonfinite_component_boundary below.
     return pool
 
 
@@ -89,3 +96,34 @@ def fuzz_dir(request, tmp_path_factory):
 @pytest.mark.parametrize("name", ENTRIES)
 def test_embeddings_entry_survives_random_corpus(spark, fuzz_dir, name):
     assert_embeddings_entry_matches(spark, name, fuzz_dir, "random embeddings corpus")
+
+
+def test_nonfinite_component_boundary(spark):
+    """Pins the data-contract boundary the pool excludes: a NaN (or inf)
+    vector component propagates to a NaN/inf dot product and norm
+    IDENTICALLY on both engines — the divergence the contract prevents
+    is the no-escape assertion, not cross-engine disagreement. If an
+    engine upgrade changes either propagation, this surfaces loudly."""
+    import duckdb
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([1.0, float("nan"), 2.0],), ([1.0, float("inf"), 2.0],)],
+        "v array<double>",
+    )
+    rows = df.select(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x).alias("sq")
+    ).collect()
+    assert math.isnan(rows[0]["sq"]) and math.isinf(rows[1]["sq"])
+    d = duckdb.sql(
+        "SELECT list_sum(list_transform(v, x -> x*x)) FROM "
+        "(SELECT ['1.0'::DOUBLE, 'nan'::DOUBLE, '2.0'::DOUBLE] AS v)"
+    ).fetchone()[0]
+    assert math.isnan(d)
+    d = duckdb.sql(
+        "SELECT list_sum(list_transform(v, x -> x*x)) FROM "
+        "(SELECT ['1.0'::DOUBLE, 'inf'::DOUBLE, '2.0'::DOUBLE] AS v)"
+    ).fetchone()[0]
+    assert math.isinf(d)
