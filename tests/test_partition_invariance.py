@@ -61,6 +61,14 @@ ENTRIES = [
     # r8: min-equality tie join + LIMIT-100 total order — the kept set
     # must not depend on which partition saw a tying supplier first
     "q2_min_cost_supplier",
+    # r11: entries whose shuffle structure changed this round — the
+    # duplicate-identity distincts (new hash agg before a window / the
+    # asof union-window) and the de-hinted flagship shapes now
+    # stats/AQE-decided
+    "dup_passage_docs",
+    "join_asof_events",
+    "q1_avg_price_by_nation",
+    "join_multiway_revenue",
 ]
 
 
