@@ -39,9 +39,11 @@ WEIGHTS = {
     "test_extreme_values.py": 38,  # 2 money corpora over the fold inventory
     "test_weirdtext.py": 105,  # 68 docs consumers × control-char corpus
     "test_aqe_invariance.py": 200,  # 32 shuffle-sensitive entries × 2 sessions
+    "test_codegen_invariance.py": 75,  # same entry list × interpreted session
     "test_schema_shape.py": 260,  # 247 entries × 2 physical layouts, sf0.001
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
+    "test_oracle_fold_stability.py": 50,  # 239 oracles × 2 DuckDB thread counts
     "test_fuzz_differential.py": 72,  # 27 entries × 2 seeded corpora
     "test_fuzz_events.py": 110,  # 36 events consumers × 3 seeded corpora
     "test_fuzz_docs.py": 130,  # 67 docs consumers × 2 seeded corpora
