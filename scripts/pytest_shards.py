@@ -43,6 +43,7 @@ WEIGHTS = {
     "test_reader_invariance.py": 300,  # 247 entries × parquet-mr session
     "test_sortagg_impl_invariance.py": 65,  # 43 entries × fallback operators
     "test_output_roundtrip.py": 260,  # 247 entry outputs × write+readback
+    "test_stream_checkpoint_restart.py": 16,
     "test_schema_shape.py": 260,  # 247 entries × 2 physical layouts, sf0.001
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
