@@ -1,0 +1,76 @@
+"""Multi-executor parity: the shuffle-sensitive entries must produce
+identical results on a REAL multi-JVM cluster (round 11).
+
+``local[32]`` runs driver and all executors in ONE JVM — closures are
+never actually serialized, broadcasts are same-process references, and
+shuffle blocks never cross a process boundary. ``local-cluster[2,8,4096]``
+spawns two separate executor JVMs, so this is the one local
+configuration where a non-serializable closure capture, a
+broadcast-identity assumption, or a cross-JVM shuffle corruption would
+actually surface. The 100 TB design point is 1000 executors; this is
+the smallest configuration that is topologically a cluster at all.
+
+A second SparkContext cannot share the pytest fixture's JVM, so the
+cluster run happens in a subprocess (scripts/local_cluster_run.py) and
+is compared fingerprint-for-fingerprint against the fixture session.
+Entry list shared with the partition-invariance net, plus the
+Arrow-batched mapInPandas entries (multimodal decode) whose Python
+workers run ON the executors — the full Python-worker serialization
+path local mode shortcuts.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+
+from test_partition_invariance import ENTRIES, SF
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "local_cluster_run.py")
+
+# the mapInPandas (Arrow Python-worker) surface: on local-cluster the
+# pandas UDF workers are forked by the EXECUTOR JVMs, not the driver's
+MAPINPANDAS_EXTRA = ["check_multimodal", "check_png_pixels"]
+NAMES = sorted(set(ENTRIES) | set(MAPINPANDAS_EXTRA))
+
+
+def _fingerprint(rows):
+    import hashlib
+
+    reprs = sorted(repr(tuple(r)) for r in rows)
+    return len(reprs), hashlib.sha256("\n".join(reprs).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def cluster_results():
+    out = subprocess.run(
+        [sys.executable, SCRIPT, SF, *NAMES],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, (
+        f"local-cluster run failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+    )
+    results = {}
+    for line in out.stdout.strip().splitlines():
+        if "\t" in line:
+            name, n, h = line.split("\t")
+            results[name] = (int(n), h)
+    assert sorted(results) == NAMES, "cluster run missing entries"
+    return results
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_entry_matches_on_real_cluster(spark, cluster_results, name):
+    local = _fingerprint(CATALOG[name].spark_fn(spark, SF).collect())
+    assert cluster_results[name] == local, (
+        f"{name}: result differs between local[*] and local-cluster"
+    )
