@@ -37,7 +37,13 @@ SCRIPT = os.path.join(REPO, "scripts", "local_cluster_run.py")
 # the mapInPandas (Arrow Python-worker) surface: on local-cluster the
 # pandas UDF workers are forked by the EXECUTOR JVMs, not the driver's
 MAPINPANDAS_EXTRA = ["check_multimodal", "check_png_pixels"]
-NAMES = sorted(set(ENTRIES) | set(MAPINPANDAS_EXTRA))
+# default: the shuffle-sensitive list (suite wall-time); the FULL
+# 247-entry sweep ran green in r11 (~7 min, BENCH_NOTES) — rerun it
+# with SPARK_GRAFT_LC_FULL=1
+if os.environ.get("SPARK_GRAFT_LC_FULL") == "1":
+    NAMES = sorted(CATALOG)
+else:
+    NAMES = sorted(set(ENTRIES) | set(MAPINPANDAS_EXTRA))
 
 
 def _fingerprint(rows):
