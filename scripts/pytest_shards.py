@@ -32,10 +32,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # durations are swallowed by the report, so its weight is a
 # standalone wall measurement. Anything unlisted defaults to 5.
 WEIGHTS = {
-    # 247 entries × 5 limit corpora (r11: +onerow/alldup/mixdup since the
-    # 130-weight measurement); ~70s per corpus sweep + startup, measured
-    # from a single-corpus -k run on an otherwise idle host
-    "test_degenerate_empty_allnull.py": 380,
+    # 247 entries × 6 limit corpora (r11: +onerow/alldup/mixdup/dupnull
+    # since the 130-weight measurement); ~65s per corpus sweep + startup,
+    # measured from a single-corpus -k run on an otherwise idle host
+    "test_degenerate_empty_allnull.py": 450,
     "test_extreme_values.py": 38,  # 2 money corpora over the fold inventory
     "test_weirdtext.py": 105,  # 68 docs consumers × control-char corpus
     "test_aqe_invariance.py": 200,  # 32 shuffle-sensitive entries × 2 sessions

@@ -37,6 +37,12 @@ the true boundary cases:
   inside k=3 genuine groups, and joins fan out 2×2 per matched key
   instead of 6×6 on a single key — the regime where a wrong tiebreak
   can REORDER groups rather than collapse into one.
+- ``dupnull`` (r11): the missing quadrant between alldup and allnull —
+  three distinct KEY rows duplicated twice each with every non-key
+  column NULL. alldup ties on real values; allnull ranks unique keys;
+  here every sort/rank runs over ALL-NULL measures inside
+  duplicated-key groups, so engine NULL placement, tie-breaking, and
+  multiplicity interact in one corpus.
 
 Contract identical to the other nets: the Spark plan must execute,
 and where oracle SQL exists both engines must agree exactly (tolerant
@@ -94,6 +100,24 @@ def _build(kind: str, out_dir: str) -> None:
             shaped = pa.concat_tables(
                 [real.slice(i, 1) for i in range(k) for _ in range(2)]
             )
+        elif kind == "dupnull":
+            # duplicates × all-NULL measures: three distinct KEY rows,
+            # each duplicated twice, every non-key column NULL. alldup
+            # ties on REAL measure values; allnull has UNIQUE keys —
+            # this is the missing quadrant: rank/sort over all-NULL
+            # measures INSIDE duplicated-key groups (NULL placement ×
+            # tie-break × multiplicity interaction)
+            k = min(3, real.num_rows)
+            cols = []
+            for field in real.schema:
+                if field.name in _KEEP[t]:
+                    cols.append(real.column(field.name).slice(0, k))
+                else:
+                    cols.append(pa.nulls(k, type=field.type))
+            distinct = pa.table(cols, schema=real.schema)
+            shaped = pa.concat_tables(
+                [distinct.slice(i, 1) for i in range(k) for _ in range(2)]
+            )
         else:  # allnull
             n = min(_N_ROWS, real.num_rows)
             cols = []
@@ -107,7 +131,8 @@ def _build(kind: str, out_dir: str) -> None:
 
 
 @pytest.fixture(
-    scope="module", params=["empty", "allnull", "onerow", "alldup", "mixdup"]
+    scope="module",
+    params=["empty", "allnull", "onerow", "alldup", "mixdup", "dupnull"],
 )
 def degen_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"degen_{request.param}")
