@@ -1,0 +1,80 @@
+"""Executor-loss fault injection on a local-cluster session.
+
+Runs a catalog entry on ``local-cluster[2,8,4096]`` and SIGKILLs one
+executor JVM mid-query. Spark must recover — task retry, stage
+re-attempt on FetchFailed, executor replacement by the standalone
+worker — and the final result must be IDENTICAL to an undisturbed run
+(the catalog's determinism + partition-invariance discipline is exactly
+what makes recomputed lineage safe). At the 100 TB design point
+executor loss is not an edge case: preemption, OOM kills, and spot
+reclamation make it routine, so "same answer after losing an executor"
+is part of correctness, not ops.
+
+Usage: python scripts/executor_loss_probe.py SF_DIR ENTRY [KILL_AFTER_S]
+Prints ``name\tn_rows\tsha256`` (same fingerprint contract as
+local_cluster_run.py) plus a KILLED line confirming the injection.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from local_cluster_run import fingerprint, _package_zip  # noqa: E402
+
+
+def _executor_pids() -> list[int]:
+    out = subprocess.run(
+        ["ps", "axo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    return [
+        int(line.split(None, 1)[0])
+        for line in out.splitlines()
+        if "CoarseGrainedExecutorBackend" in line
+    ]
+
+
+def main() -> int:
+    sf_dir, name = sys.argv[1], sys.argv[2]
+    kill_after = float(sys.argv[3]) if len(sys.argv) > 3 else 5.0
+    from data_engineering_project_capstone_spark.plans.catalog import CATALOG
+    from data_engineering_project_capstone_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="executor_loss_probe", master="local-cluster[2,8,4096]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addPyFile(_package_zip())
+
+    state = {"killed": None}
+
+    def killer():
+        deadline = time.time() + 60
+        while time.time() < deadline and not _executor_pids():
+            time.sleep(0.5)
+        time.sleep(kill_after)
+        pids = _executor_pids()
+        if pids:
+            os.kill(pids[0], 9)
+            state["killed"] = pids[0]
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    rows = CATALOG[name].spark_fn(spark, sf_dir).collect()
+    t.join(timeout=5)
+    n, h = fingerprint(rows)
+    print(f"KILLED\t{state['killed']}", flush=True)
+    print(f"{name}\t{n}\t{h}", flush=True)
+    spark.stop()
+    # the probe only proves something if the kill actually landed
+    return 0 if state["killed"] else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
