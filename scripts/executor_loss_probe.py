@@ -11,8 +11,11 @@ reclamation make it routine, so "same answer after losing an executor"
 is part of correctness, not ops.
 
 Usage: python scripts/executor_loss_probe.py SF_DIR ENTRY [KILL_AFTER_S]
+       [N_KILLS]
+``N_KILLS > 1`` keeps killing a live executor every KILL_AFTER_S —
+sustained churn (rolling preemption) rather than a single loss.
 Prints ``name\tn_rows\tsha256`` (same fingerprint contract as
-local_cluster_run.py) plus a KILLED line confirming the injection.
+local_cluster_run.py) plus a KILLED line confirming the injections.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ def _executor_pids() -> list[int]:
 def main() -> int:
     sf_dir, name = sys.argv[1], sys.argv[2]
     kill_after = float(sys.argv[3]) if len(sys.argv) > 3 else 5.0
+    n_kills = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     from data_engineering_project_capstone_spark.plans.catalog import CATALOG
     from data_engineering_project_capstone_spark.session import get_spark
 
@@ -52,27 +56,29 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addPyFile(_package_zip())
 
-    state = {"killed": None}
+    state = {"killed": []}
 
     def killer():
         deadline = time.time() + 60
         while time.time() < deadline and not _executor_pids():
             time.sleep(0.5)
-        time.sleep(kill_after)
-        pids = _executor_pids()
-        if pids:
-            os.kill(pids[0], 9)
-            state["killed"] = pids[0]
+        for _ in range(n_kills):
+            time.sleep(kill_after)
+            pids = _executor_pids()
+            if pids:
+                os.kill(pids[0], 9)
+                state["killed"].append(pids[0])
 
     t = threading.Thread(target=killer, daemon=True)
     t.start()
     rows = CATALOG[name].spark_fn(spark, sf_dir).collect()
     t.join(timeout=5)
     n, h = fingerprint(rows)
-    print(f"KILLED\t{state['killed']}", flush=True)
+    killed = ",".join(map(str, state["killed"])) or "None"
+    print(f"KILLED\t{killed}", flush=True)
     print(f"{name}\t{n}\t{h}", flush=True)
     spark.stop()
-    # the probe only proves something if the kill actually landed
+    # the probe only proves something if at least one kill landed
     return 0 if state["killed"] else 2
 
 
