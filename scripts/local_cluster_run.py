@@ -13,6 +13,10 @@ the printed fingerprints against the in-process fixture session.
 
 Usage: python scripts/local_cluster_run.py SF_DIR ENTRY [ENTRY...]
 Prints one line per entry: ``name\tn_rows\tsha256(sorted row reprs)``.
+
+``SPARK_GRAFT_EXTRA_CONF`` (JSON object) adds context-level conf the
+session-scoped nets can't flip — e.g. aggressive speculation for the
+duplicate-task-attempt parity net.
 """
 
 from __future__ import annotations
@@ -64,8 +68,13 @@ def main() -> int:
     from data_engineering_project_capstone_spark.plans.catalog import CATALOG
     from data_engineering_project_capstone_spark.session import get_spark
 
+    import json
+
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
     spark = get_spark(
-        app_name="local_cluster_parity", master="local-cluster[2,8,4096]"
+        app_name="local_cluster_parity",
+        master="local-cluster[2,8,4096]",
+        extra_conf=extra or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addPyFile(_package_zip())
