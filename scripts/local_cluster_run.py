@@ -15,8 +15,9 @@ Usage: python scripts/local_cluster_run.py SF_DIR ENTRY [ENTRY...]
 Prints one line per entry: ``name\tn_rows\tsha256(sorted row reprs)``.
 
 ``SPARK_GRAFT_EXTRA_CONF`` (JSON object) adds context-level conf the
-session-scoped nets can't flip — e.g. aggressive speculation for the
-duplicate-task-attempt parity net.
+session-scoped nets can't flip. ``SPARK_GRAFT_SLEEP_BETWEEN`` (float
+seconds) idles between entries — long enough idles let dynamic
+allocation release executors so the next entry re-acquires them.
 """
 
 from __future__ import annotations
@@ -78,10 +79,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addPyFile(_package_zip())
+    sleep_between = float(os.environ.get("SPARK_GRAFT_SLEEP_BETWEEN", "0"))
     try:
         for name in names:
             n, h = fingerprint(CATALOG[name].spark_fn(spark, sf_dir).collect())
             print(f"{name}\t{n}\t{h}", flush=True)
+            if sleep_between:
+                import time
+
+                time.sleep(sleep_between)
     finally:
         spark.stop()
     return 0
