@@ -48,6 +48,7 @@ WEIGHTS = {
     "test_local_cluster_parity.py": 120,  # 38 entries × real 2-JVM cluster subprocess
     "test_executor_loss.py": 45,  # kill an executor mid-query, compare result
     "test_dynalloc_parity.py": 112,  # 6 entries × dynamic-allocation churn cluster
+    "test_runtime_profile_parity.py": 134,  # 38 entries × Kryo/off-heap/zstd cluster
     "test_schema_shape.py": 260,  # 247 entries × 2 physical layouts, sf0.001
     "test_degenerate_docs.py": 189,
     "test_oracle_differential.py": 150,
