@@ -43,6 +43,7 @@ WEIGHTS = {
     "test_reader_invariance.py": 300,  # 247 entries × parquet-mr session
     "test_sortagg_impl_invariance.py": 65,  # 43 entries × fallback operators
     "test_allflips_invariance.py": 70,  # 36 entries × all flips at once
+    "test_ansi_invariance.py": 78,  # 36 entries × ANSI-off (Spark 3.x default) session
     "test_output_roundtrip.py": 260,  # 247 entry outputs × write+readback
     "test_stream_checkpoint_restart.py": 16,
     "test_local_cluster_parity.py": 120,  # 38 entries × real 2-JVM cluster subprocess
