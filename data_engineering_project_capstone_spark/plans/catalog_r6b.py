@@ -130,10 +130,14 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of the n-gram ``decontaminate`` entry: near-duplicate
     *meaning*, not near-duplicate *surface form*, leaks eval answers.
 
-    Scale: the benchmark side is broadcast (eval suites are thousands of
-    rows, not billions), so the candidate scan is embarrassingly
-    parallel — a broadcast nested-loop join with per-row norm
-    materialized once (see operators.dedup.norm_of PERF CONTRACT). The
+    Scale: in production the benchmark side is eval suites — thousands
+    of rows, not billions — so stats/AQE plan the crossJoin as a
+    broadcast nested-loop and the candidate scan is embarrassingly
+    parallel, with per-row norm materialized once (see
+    operators.dedup.norm_of PERF CONTRACT). The hint is NOT forced:
+    here the stand-in benchmark (vec_id % 37) is a constant fraction of
+    an SF-scaling table, and forcing a broadcast of an SF-scaling side
+    is executor OOM at the design point. The
     per-candidate max is a groupBy on the candidate's own key: map-side
     partial aggregation collapses the shuffle to one row per candidate.
     NULL policy: NULL embeddings are excluded on both engines.
@@ -164,7 +168,7 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    scored = cand.crossJoin(F.broadcast(bench)).select(
+    scored = cand.crossJoin(bench).select(
         "vec_id", cos6.alias("cos6")
     )
     return (

@@ -137,8 +137,11 @@ def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     time buckets it overlaps (bucket span == window span ⇒ ≤ 2 buckets
     per interval), equi-join probe rows on their single bucket, then
     re-check exact containment. The join becomes a hash join keyed on
-    bucket — broadcastable here (intervals are a sampled subset), and
-    shuffle-partitionable on bucket when the interval side is large. An
+    bucket — stats/AQE broadcast it where the interval side fits, and
+    it shuffle-partitions on bucket when the interval side is large.
+    No forced hint: the sampled subset is a constant fraction of an
+    SF-scaling events table, so forcing a broadcast is OOM at the
+    design point. An
     event's bucket is unique and interval buckets are distinct, so no
     post-join dedup is needed.
     """
@@ -166,7 +169,7 @@ def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bkt", F.floor(F.unix_micros("ts") / F.lit(_RANGE_BUCKET_US))
     )
     return (
-        probe.join(F.broadcast(ivb), "bkt")
+        probe.join(ivb, "bkt")
         .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
         .groupBy("window_id")
         .agg(

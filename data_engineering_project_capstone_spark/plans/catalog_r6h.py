@@ -384,12 +384,16 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets: support(a→b), confidence(a→b) = s(ab)/s(a), and
     lift = n·s(ab)/(s(a)·s(b)), with a relative minimum-support floor.
 
-    Scale shape: baskets come from one broadcast dim join
-    (lineitem × part) plus a distinct; the pair count is a self-join
-    on the order key where the per-order fan-out is bounded by basket
-    size squared (brands per order, ≤ a few dozen), not by data volume.
-    Brand marginals are a 25-row aggregate joined back via broadcast;
-    the grand total rides a 1-row broadcast crossJoin. Ordering is by
+    Scale shape: baskets come from one lineitem × part key join
+    (UN-hinted: part scales with SF, so the planner/AQE must choose
+    broadcast only where stats say it fits — a forced broadcast of the
+    full part projection is driver OOM at the 100 TB design point)
+    plus a distinct; the pair count is a self-join on the order key
+    where the per-order fan-out is bounded by basket size squared
+    (brands per order, ≤ a few dozen), not by data volume. Brand
+    marginals are a 25-row aggregate joined back via broadcast (the
+    brand domain is an enum — genuinely bounded); the grand total
+    rides a 1-row broadcast crossJoin. Ordering is by
     the ROUNDED lift so both engines sort identical doubles, ties by
     (brand_a, brand_b)."""
     part = t(spark, sf_dir, "part").select(
@@ -402,7 +406,7 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey").isNotNull())
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
     )

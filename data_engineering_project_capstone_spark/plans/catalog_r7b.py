@@ -447,7 +447,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication (5·q·n < Σq — no float average anywhere).
     Scale: the brand filter prunes the part dim FIRST; the per-part
     agg runs only over the brand's lineitems (semi-joined), then joins
-    back broadcast-sized."""
+    back. Both the brand subset and the per-part agg are a constant
+    FRACTION of an SF-scaling table (~1/25 of part), not bounded, so
+    neither carries a forced broadcast hint — AQE/stats pick broadcast
+    at scales where it fits and shuffle where it doesn't."""
     brand_parts = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_brand") == _Q17_BRAND)
@@ -456,7 +459,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(brand_parts),
+            brand_parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -473,7 +476,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("qty").alias("sumq")
     )
     return (
-        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(5 * F.col("qty") * F.col("n") < F.col("sumq"))
         .agg(
             F.count("*").cast("long").alias("n_small_lines"),
@@ -587,7 +590,10 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filters to the UNION of brand×size disjuncts (so the join
     input is already pruned), the equi-join runs on partkey alone, and
     the residual disjunction evaluates post-join in codegen — the
-    planner never falls back to a nested-loop join."""
+    planner never falls back to a nested-loop join. The filtered part
+    side is a constant fraction of an SF-scaling table, so it carries
+    NO forced broadcast hint — the equi-join key keeps the plan
+    hash/sort-merge-safe and AQE broadcasts only where stats fit."""
     part_pred = None
     for brand, slo, shi, _, _ in _Q19:
         p = (F.col("p_brand") == brand) & F.col("p_size").between(slo, shi)
@@ -611,7 +617,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         full_pred = p if full_pred is None else (full_pred | p)
     return (
-        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .filter(full_pred)
         .agg(
             F.count("*").cast("long").alias("n_lines"),

@@ -32,14 +32,22 @@ sys.path.insert(0, REPO)
 from local_cluster_run import fingerprint, _package_zip  # noqa: E402
 
 
-def _executor_pids() -> list[int]:
+def _executor_pids(app_id: str) -> list[int]:
+    """PIDs of THIS cluster's executor JVMs only.
+
+    The ps scan must filter on this session's applicationId (present in
+    the executor command line as ``--app-id``): pytest shards run
+    concurrently and several sibling tests spawn their own
+    local-cluster executors, so an unfiltered match could SIGKILL
+    another shard's executor — flaking that shard while leaving this
+    probe's cluster undisturbed (a vacuously green recovery test)."""
     out = subprocess.run(
         ["ps", "axo", "pid,args"], capture_output=True, text=True
     ).stdout
     return [
         int(line.split(None, 1)[0])
         for line in out.splitlines()
-        if "CoarseGrainedExecutorBackend" in line
+        if "CoarseGrainedExecutorBackend" in line and app_id in line
     ]
 
 
@@ -56,30 +64,40 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addPyFile(_package_zip())
 
-    state = {"killed": []}
+    app_id = spark.sparkContext.applicationId
+    state = {"killed": [], "kill_ts": []}
 
     def killer():
         deadline = time.time() + 60
-        while time.time() < deadline and not _executor_pids():
+        while time.time() < deadline and not _executor_pids(app_id):
             time.sleep(0.5)
         for _ in range(n_kills):
             time.sleep(kill_after)
-            pids = _executor_pids()
+            pids = _executor_pids(app_id)
             if pids:
                 os.kill(pids[0], 9)
                 state["killed"].append(pids[0])
+                state["kill_ts"].append(time.time())
 
     t = threading.Thread(target=killer, daemon=True)
     t.start()
+    t_start = time.time()
     rows = CATALOG[name].spark_fn(spark, sf_dir).collect()
+    t_end = time.time()
     t.join(timeout=5)
     n, h = fingerprint(rows)
     killed = ",".join(map(str, state["killed"])) or "None"
+    # a kill proves recovery only if it landed strictly INSIDE the
+    # collect() window: on a fast host the query can finish before
+    # KILL_AFTER_S elapses, the SIGKILL then hits an idle executor and
+    # the run exercises no recovery path at all.
+    mid_query = any(t_start < ts < t_end for ts in state["kill_ts"])
     print(f"KILLED\t{killed}", flush=True)
+    print(f"MIDQUERY\t{int(mid_query)}", flush=True)
     print(f"{name}\t{n}\t{h}", flush=True)
     spark.stop()
-    # the probe only proves something if at least one kill landed
-    return 0 if state["killed"] else 2
+    # the probe only proves something if at least one kill landed mid-query
+    return 0 if mid_query else 2
 
 
 if __name__ == "__main__":

@@ -50,8 +50,11 @@ def spark_nocodegen(spark):
 
 
 def _rows(session, name):
+    # key=repr (same idiom as the ansi/allflips nets): raw-tuple sorting
+    # raises TypeError on mixed NULL/non-NULL columns (None < int).
     return sorted(
-        tuple(r) for r in CATALOG[name].spark_fn(session, SF).collect()
+        (tuple(r) for r in CATALOG[name].spark_fn(session, SF).collect()),
+        key=repr,
     )
 
 

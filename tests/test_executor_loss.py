@@ -48,8 +48,10 @@ def test_result_identical_after_executor_loss(spark):
         cwd=REPO,
     )
     assert out.returncode == 0, (
-        f"probe failed (rc={out.returncode}; rc=2 means the kill never "
-        f"landed):\n{out.stdout[-1000:]}\n{out.stderr[-3000:]}"
+        f"probe failed (rc={out.returncode}; rc=2 means no kill landed "
+        f"inside the collect() window — the query finished before the "
+        f"SIGKILL, so no recovery path ran):"
+        f"\n{out.stdout[-1000:]}\n{out.stderr[-3000:]}"
     )
     lines = dict(
         (l.split("\t")[0], l.split("\t")[1:])
@@ -57,6 +59,7 @@ def test_result_identical_after_executor_loss(spark):
         if "\t" in l
     )
     assert lines["KILLED"][0] != "None", "no executor was killed"
+    assert lines["MIDQUERY"][0] == "1", "kill landed outside the query window"
     got = (int(lines[ENTRY][0]), lines[ENTRY][1])
     assert got == local, (
         f"{ENTRY}: result changed after executor loss + recovery"

@@ -57,7 +57,11 @@ def _erase_nullability(dt):
 
 
 def _rowset(df):
-    return sorted((tuple(r) for r in df.collect()), key=repr)
+    # compare REPRs, not raw tuples: a float NaN is != itself, so raw
+    # tuple equality fails on any NaN-bearing result even when the
+    # parquet round-trip is byte-perfect (repr maps NaN -> 'nan' on both
+    # sides; float repr round-trips exact values otherwise).
+    return sorted(repr(tuple(r)) for r in df.collect())
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
