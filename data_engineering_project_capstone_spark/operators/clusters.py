@@ -70,6 +70,17 @@ def connected_components(
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
     )
+    # Materialize the edge list ONCE before the loop. Every round joins
+    # `edges` against the current labels, so an unmaterialized edge list
+    # re-executes the caller's whole pair-generation pipeline (MinHash
+    # LSH: shingle explode, signature agg, band shuffle, verify joins)
+    # once per round — O(rounds × upstream-pipeline), measured 40s vs 7s
+    # on the sf0.1 near-dup graph (r12, BENCH_NOTES) and catastrophic at
+    # the 100 TB design point. The labels' per-probe localCheckpoints cut
+    # the LABEL lineage but never the edge lineage; this cut is the edge
+    # twin. Edge lists are pair-count-sized (two longs per edge), so the
+    # materialization is small at any SF.
+    edges = edges.localCheckpoint(eager=True)
     # label(node) = min(node, min neighbor) to start
     labels = edges.groupBy("a").agg(F.min("b").alias("nbr_min")).select(
         F.col("a").alias("id"),

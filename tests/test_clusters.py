@@ -128,3 +128,36 @@ def test_dedup_by_components(spark):
     kept = {r["doc_id"] for r in dedup_by_components(docs, pairs).collect()}
     # components {1,2,3} -> keep 1; {5,6} -> keep 5; singletons stay
     assert kept == {0, 1, 4, 5, 7}
+
+
+def test_cc_evaluates_pairs_input_exactly_once(spark):
+    """The edge list must be materialized ONCE before the propagation
+    loop (r12): every round joins edges against the labels, and the
+    per-probe label checkpoints are separate jobs, so an unmaterialized
+    edge list re-executes the caller's entire pair-generation pipeline
+    (MinHash LSH at the call sites) once per probe round — measured 40s
+    vs 7s at sf0.1 and O(rounds × upstream-pipeline) at scale. A
+    per-row accumulator UDF on the pairs input counts evaluations: the
+    symmetric union reads pairs twice, and nothing else may."""
+    from pyspark.sql import types as T
+
+    n = 200
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, T.LongType())
+    pairs = spark.range(n).select(
+        bump_udf(F.col("id")).alias("id_a"),
+        (F.col("id") + 1).alias("id_b"),
+    )
+    comps = connected_components(
+        pairs, max_iterations=4, check_convergence=False
+    )
+    comps.count()
+    assert n <= acc.value <= 2 * n, (
+        f"pairs input evaluated {acc.value / n:.1f}x — the edge list is "
+        f"being recomputed inside the propagation loop"
+    )
