@@ -45,12 +45,27 @@ def pagerank(
     no rand, float-sum ordering is the only nondeterminism and is
     absorbed by caller-side rounding."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Loop-invariant inputs: below the checkpoint budget the whole loop
+    # is ONE terminal action, so ReusedExchange dedups the repeated
+    # e/nodes/outdeg subtrees inside a single plan and materializing
+    # them would only add jobs (the ledgered 3x regression from eager
+    # per-round cuts). But once a MID-LOOP checkpoint fires, every
+    # subsequent checkpoint is a separate job that re-plans — and
+    # re-executes — the caller's whole edge pipeline per cut (the CC
+    # bug class, r12: clusters.py materializes its edge list for
+    # exactly this reason). Materialize the invariants up front only
+    # when that regime is reachable.
+    if iterations > checkpoint_every:
+        e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    if iterations > checkpoint_every:
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
         contribs = (

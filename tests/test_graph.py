@@ -262,3 +262,34 @@ def test_logreg_gd_decreases_log_loss(spark):
     ref = gd(2)
     for j in range(3):
         assert abs(w[j] - ref[j]) < 1e-5, (j, w[j], ref[j])
+
+
+def test_pagerank_checkpoint_regime_evaluates_edges_once(spark):
+    """Once a mid-loop checkpoint fires (iterations > checkpoint_every),
+    each checkpoint is a separate job, so unmaterialized loop-invariant
+    inputs (edges/nodes/outdeg) would be re-executed per cut — the CC
+    bug class (r12, clusters.py). An accumulator UDF on the edges input
+    counts evaluations: the up-front materialization reads it once, and
+    nothing else may (below the budget the single terminal action +
+    ReusedExchange already guarantee this; the guard pins the
+    checkpointing regime)."""
+    from pyspark.sql import types as T
+
+    n = 100
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, T.LongType())
+    edges = spark.range(n).select(
+        bump_udf(F.col("id")).alias("src"),
+        ((F.col("id") + 1) % n).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=8, checkpoint_every=3)
+    assert ranks.count() == n
+    assert n <= acc.value <= 2 * n, (
+        f"edges input evaluated {acc.value / n:.1f}x — loop-invariant "
+        f"inputs are being recomputed inside the checkpointed loop"
+    )
