@@ -56,6 +56,14 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("u").alias("src"), F.col("t").alias("dst")
     ).union(pairs.select(F.col("t").alias("src"), F.col("u").alias("dst")))
+    # Materialize the edge list once: each PageRank round joins it, and
+    # while ReusedExchange dedups most repeated subtrees inside the one
+    # terminal action, the r12 scan census still measured FIVE events
+    # scans in the final plan (one per round). The edge list is
+    # distinct-(user,type)-sized — far smaller than the event fact — so
+    # one materialization replaces per-round fact scans; 13% at sf0.1,
+    # four saved full-corpus passes at the design point.
+    edges = edges.localCheckpoint(eager=True)
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     return (
         ranks.filter(F.col("id").startswith("t:"))
