@@ -160,13 +160,18 @@ def _min_labels(core: DataFrame, edges: DataFrame) -> DataFrame:
     reach: measured convergence at sf0.1 is 14 pairs (plain form: not
     even 24), K=16 adds margin — and check_dbscan_fixpoint goes red at
     the driver if any scale ever exceeds it. Lineage is cut every
-    second round pair (eager localCheckpoint costs a scheduler
-    round-trip per call; two round-pairs of plan growth are cheap)."""
+    second round pair, LAZILY (r12 A/B at sf0.1, identical hashes):
+    eager cuts cost a scheduler round-trip per call (8 extra jobs →
+    12.4s); lazy cuts defer materialization into the terminal action,
+    which persists each marked RDD on first compute and truncates
+    lineage for any recompute (9.7s). Cadence stays 2 — stretching to
+    every 4 rounds blew planning up 2.5x (28-30s) as the uncut
+    4-round/8-join plan segments compound."""
     lab = core.select("k", F.col("k").alias("lab"))
     for i in range(_CC_ROUNDS):
         lab = _jump_round(_propagate_round(edges, lab))
         if i % 2 == 1:
-            lab = lab.localCheckpoint()
+            lab = lab.localCheckpoint(eager=False)
     return lab
 
 
