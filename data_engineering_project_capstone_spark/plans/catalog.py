@@ -5211,10 +5211,22 @@ assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
 #       join_range_buckets dropped broadcast(sampled intervals) — all
 #       results proven invariant locally; fresh driver rows close the
 #       loop);
+#   (a2) the 4 oracle-paired entries whose CODE PATH changed later in
+#       r12 (the connected_components edge-materialization fix and its
+#       consumers, the DBSCAN lazy lineage cuts, the pagerank edge
+#       checkpoint): pagerank_event_graph, dbscan_customers,
+#       check_dbscan_fixpoint, check_er_mass — the clusters.py twins
+#       check_cluster_consistency / check_minhash_containment /
+#       split_no_leakage and dup_graph_degree are already in (a)/(b);
+#       the remaining CC consumers are rows-only (dedup_minhash_lsh,
+#       dedup_resolve_clusters, er_golden_records);
 #   (b) the 26 remaining entries whose latest green driver row is r6
 #       (the verdict's staleness list minus the two already in (a));
-#   (c) 17 of the r7-row tail, alphabetical (decontaminate_embedding and
-#       join_range_buckets already covered by (a)).
+#   (c) 13 of the r7-row tail, alphabetical (decontaminate_embedding and
+#       join_range_buckets already covered by (a); the last four of the
+#       r7 tail — events_time_decay, exact_substr_spans,
+#       funnel_strict_sequence, kl_source_drift — yield their slots to
+#       (a2) and lead the r13 rotation instead).
 # The 8 rows-only entries stay excluded (once-only no_oracle records +
 # green hashable check_* twins), keeping the window a clean 50/50.
 _DRIVER_WINDOW_R12 = [
@@ -5226,6 +5238,12 @@ _DRIVER_WINDOW_R12 = [
     "decontaminate",
     "decontaminate_embedding",
     "join_range_buckets",
+    # (a2) r12 code-path changes (CC edge materialization, DBSCAN lazy
+    # cuts, pagerank edge checkpoint)
+    "pagerank_event_graph",
+    "dbscan_customers",
+    "check_dbscan_fixpoint",
+    "check_er_mass",
     # (b) r6-row staleness tail, alphabetical
     "check_multimodal",
     "check_simhash_invariants",
@@ -5267,10 +5285,6 @@ _DRIVER_WINDOW_R12 = [
     "events_funnel",
     "events_retention_cohorts",
     "events_session_window",
-    "events_time_decay",
-    "exact_substr_spans",
-    "funnel_strict_sequence",
-    "kl_source_drift",
 ]
 assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
 CATALOG = {
