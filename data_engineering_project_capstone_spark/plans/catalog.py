@@ -5219,14 +5219,17 @@ assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
 #       check_cluster_consistency / check_minhash_containment /
 #       split_no_leakage and dup_graph_degree are already in (a)/(b);
 #       the remaining CC consumers are rows-only (dedup_minhash_lsh,
-#       dedup_resolve_clusters, er_golden_records);
+#       dedup_resolve_clusters, er_golden_records); plus
+#       kmeans_embeddings, whose inertia readout moved to an exact
+#       integer micro-unit fold after the r12 sf0.1 sweep caught the
+#       raw double sum landing on a 4dp half boundary;
 #   (b) the 26 remaining entries whose latest green driver row is r6
 #       (the verdict's staleness list minus the two already in (a));
-#   (c) 13 of the r7-row tail, alphabetical (decontaminate_embedding and
-#       join_range_buckets already covered by (a); the last four of the
-#       r7 tail — events_time_decay, exact_substr_spans,
-#       funnel_strict_sequence, kl_source_drift — yield their slots to
-#       (a2) and lead the r13 rotation instead).
+#   (c) 12 of the r7-row tail, alphabetical (decontaminate_embedding and
+#       join_range_buckets already covered by (a); the last five of the
+#       r7 tail — events_session_window, events_time_decay,
+#       exact_substr_spans, funnel_strict_sequence, kl_source_drift —
+#       yield their slots to (a2) and lead the r13 rotation instead).
 # The 8 rows-only entries stay excluded (once-only no_oracle records +
 # green hashable check_* twins), keeping the window a clean 50/50.
 _DRIVER_WINDOW_R12 = [
@@ -5244,6 +5247,7 @@ _DRIVER_WINDOW_R12 = [
     "dbscan_customers",
     "check_dbscan_fixpoint",
     "check_er_mass",
+    "kmeans_embeddings",
     # (b) r6-row staleness tail, alphabetical
     "check_multimodal",
     "check_simhash_invariants",
@@ -5284,7 +5288,6 @@ _DRIVER_WINDOW_R12 = [
     "events_anomaly_zscore",
     "events_funnel",
     "events_retention_cohorts",
-    "events_session_window",
 ]
 assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
 CATALOG = {

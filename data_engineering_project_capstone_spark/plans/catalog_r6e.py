@@ -183,11 +183,20 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("cx"))
         )
+    # Inertia folds EXACT micro-units, not raw doubles: d is 6dp-rounded,
+    # so round(d*1e6) is an exact integer and the per-cluster sum is
+    # fold-order-free; the 4dp half-up readout then happens in integer
+    # space ((micro+50) div 100). The r12 sf0.1 sweep caught the raw
+    # double sum landing EXACTLY on a 4dp half boundary (true sum
+    # 480.87205, Spark ...4999998 vs DuckDB ...5000001 — per-vec d
+    # values bit-identical, only the fold order differed) — the same
+    # class as the welch_ttest r9 fix, closed the same way.
+    micro = F.sum(F.round(F.col("d") * 1e6, 0).cast("long"))
     return (
         assign.groupBy("cid")
         .agg(
             F.count("*").alias("n_points"),
-            ieee_round(F.sum("d"), 4).alias("inertia"),
+            (F.floor((micro + F.lit(50)) / 100) / 10000.0).alias("inertia"),
         )
         .orderBy("cid")
     )
@@ -228,7 +237,8 @@ WITH pts AS (
         )
     tail = f"""
 SELECT cid, count(*) AS n_points,
-       {sql_ieee_round("sum(d)", 4)} AS inertia
+       floor((sum(CAST(round(d * 1000000) AS BIGINT)) + 50) / 100)
+           / 10000.0 AS inertia
 FROM a{_KM_ITERS}
 GROUP BY cid
 ORDER BY cid
