@@ -15,6 +15,19 @@ Cross-engine parity rules (hard-won, keep these):
 - **Float parity**: round aggregates on BOTH sides (the reference rounds
   to 2dp everywhere anyway: ``dataprep.py:57-66``). Never emit a raw
   double → string cast; use printf-style formatting on both sides.
+- **Fold parity** (r12, after the kmeans_embeddings incident — a raw
+  double sum landed EXACTLY on a 4dp half boundary and the engines'
+  fold orders split it): never feed a RAW double sum into a rounded
+  readout. Money-like summands fold as exact integer cents/units
+  (DECIMAL(38,0) where a 100 TB row count overflows int64, q1 idiom);
+  already-rounded summands fold their exact fixed-point integers
+  (kmeans d×1e6); transcendental terms (ln/pow ratios: KL, χ²)
+  quantize each term to a 1e-9 integer first — order-free and immune
+  to last-ulp libm differences. Both engines must compute the SAME
+  integers; rounding/guards mirror ieee_round / the round-half pin.
+  Non-finite inputs: integer folds must keep double-sum semantics
+  explicitly (flags: any NaN or mixed ±inf → NaN, else ±inf — see
+  events_multires_rollup) or pin the domain loudly (money contract).
 - **Null parity**: Spark ``pivot`` yields null for empty cells where a
   SQL ``COUNT(CASE...)`` yields 0 → coalesce the Spark side.
 - **Regex-class parity** (r11, found by tests/test_weirdtext.py): Java
@@ -1992,7 +2005,11 @@ def _ann_check(
     )
     anchors = exact1.agg(
         F.sum("neighbor_id").cast("long").alias("exact_top1_id_sum"),
-        ieee_round(F.sum("best_cos"), 6).alias("exact_top1_cos_sum"),
+        # best_cos is 6dp-rounded, so round(cos*1e6) is an exact integer
+        # and the anchor sum folds order-free (r12 fold discipline)
+        (
+            F.sum(F.round(F.col("best_cos") * 1e6, 0).cast("long")) / 1e6
+        ).alias("exact_top1_cos_sum"),
     )
     joined = approx.join(exact1.select("query_id", "best_cos"), "query_id")
     n_queries = _scalar(q, F.count("*"), "n_queries")
@@ -2084,7 +2101,8 @@ SELECT CAST((SELECT count(*) FROM embeddings
               WHERE vec_id < 5 AND embedding IS NOT NULL) AS BIGINT)
            AS n_queries,
        CAST(sum(neighbor_id) AS BIGINT) AS exact_top1_id_sum,
-       {sql_ieee_round('sum(cos)', 6)} AS exact_top1_cos_sum,
+       sum(CAST(round(cos * 1000000) AS BIGINT)) / 1000000.0
+           AS exact_top1_cos_sum,
        TRUE AS rows_complete,
        CAST(0 AS BIGINT) AS n_beats_exact
 FROM top1
@@ -2096,7 +2114,8 @@ SELECT CAST((SELECT count(*) FROM embeddings
               WHERE vec_id < 5 AND embedding IS NOT NULL) AS BIGINT)
            AS n_queries,
        CAST(sum(neighbor_id) AS BIGINT) AS exact_top1_id_sum,
-       {sql_ieee_round('sum(cos)', 6)} AS exact_top1_cos_sum,
+       sum(CAST(round(cos * 1000000) AS BIGINT)) / 1000000.0
+           AS exact_top1_cos_sum,
        TRUE AS rows_complete,
        CAST(0 AS BIGINT) AS n_beats_exact,
        TRUE AS recall_floor_ok
@@ -5225,11 +5244,14 @@ assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
 #       raw double sum landing on a 4dp half boundary;
 #   (b) the 26 remaining entries whose latest green driver row is r6
 #       (the verdict's staleness list minus the two already in (a));
-#   (c) 12 of the r7-row tail, alphabetical (decontaminate_embedding and
-#       join_range_buckets already covered by (a); the last five of the
-#       r7 tail — events_session_window, events_time_decay,
-#       exact_substr_spans, funnel_strict_sequence, kl_source_drift —
-#       yield their slots to (a2) and lead the r13 rotation instead).
+#   (c) 6 of the r7-row tail, alphabetical (decontaminate_embedding and
+#       join_range_buckets already covered by (a); the rest of the r7
+#       tail — dedup_soft_weights, dsir_importance,
+#       embedding_norm_outliers, events_anomaly_zscore, events_funnel,
+#       events_retention_cohorts, events_session_window,
+#       events_time_decay, exact_substr_spans, funnel_strict_sequence —
+#       yield their slots to (a2)/(a3) and lead the r13 rotation
+#       instead; kl_source_drift moved into (a3) itself).
 # The 8 rows-only entries stay excluded (once-only no_oracle records +
 # green hashable check_* twins), keeping the window a clean 50/50.
 _DRIVER_WINDOW_R12 = [
@@ -5248,6 +5270,15 @@ _DRIVER_WINDOW_R12 = [
     "check_dbscan_fixpoint",
     "check_er_mass",
     "kmeans_embeddings",
+    # (a3) the r12 fold-discipline hardening sweep (raw double sums at
+    # rounding boundaries → exact integer / nano-quantized folds, the
+    # kmeans incident's class closed repo-wide)
+    "skew_salted_agg",
+    "events_multires_rollup",
+    "check_lsh_topk",
+    "check_ivf_topk",
+    "kl_source_drift",
+    "chi_square_independence",
     # (b) r6-row staleness tail, alphabetical
     "check_multimodal",
     "check_simhash_invariants",
@@ -5282,12 +5313,6 @@ _DRIVER_WINDOW_R12 = [
     "boilerplate_windows",
     "bpe_merge_pairs",
     "churn_feature_lift",
-    "dedup_soft_weights",
-    "dsir_importance",
-    "embedding_norm_outliers",
-    "events_anomaly_zscore",
-    "events_funnel",
-    "events_retention_cohorts",
 ]
 assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
 CATALOG = {

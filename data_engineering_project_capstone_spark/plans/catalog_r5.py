@@ -544,20 +544,30 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = t(spark, sf_dir, "lineitem")
     salt = F.pmod(F.hash("l_orderkey"), F.lit(16))
+    # exact integer folds (q1_pricing_summary idiom, applied r12): raw
+    # double sums of qty/revenue are fold-order-sensitive and can land
+    # on a rounding boundary where the engines' partial-agg orders
+    # disagree (the kmeans_embeddings incident); centi-quantity and
+    # revenue units fold exactly on both engines instead
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    ).cast("decimal(38,0)")
     partial = (
         li.groupBy("l_returnflag", salt.alias("salt"))
         .agg(
             F.count("*").alias("pn"),
-            F.sum("l_quantity").alias("pq"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("prev"),
+            F.sum(qty_c).alias("pq"),
+            F.sum(rev_u).alias("prev"),
         )
     )
     return (
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("pn").cast("long").alias("n_rows"),
-            ieee_round(F.sum("pq"), 2).alias("sum_qty"),
-            ieee_round(F.sum("prev"), 2).alias("sum_revenue"),
+            ieee_round(F.sum("pq") / 100.0, 2).alias("sum_qty"),
+            ieee_round(F.sum("prev") / 10000.0, 2).alias("sum_revenue"),
         )
         .orderBy("l_returnflag")
     )
@@ -566,8 +576,13 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKEW_SALTED_AGG_SQL = f"""
 SELECT l_returnflag,
        count(*) AS n_rows,
-       {sql_ieee_round('sum(l_quantity)', 2)} AS sum_qty,
-       {sql_ieee_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_revenue
+       {sql_ieee_round(
+           'sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0', 2)}
+           AS sum_qty,
+       {sql_ieee_round(
+           'sum(CAST(round(l_extendedprice * 100) AS BIGINT)'
+           ' * (100 - CAST(round(l_discount * 100) AS BIGINT)))'
+           ' / 10000.0', 2)} AS sum_revenue
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -829,9 +844,41 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "ts").alias("m"),
         "value",
     )
-    rolled = bucketed.groupingSets(
-        [["h"], ["d"], ["m"]], "h", "d", "m"
-    ).agg(F.count("*").alias("n_events"), ieee_round(F.sum("value"), 2).alias("sum_value"))
+    # exact cents fold (r12): a raw double sum is fold-order-sensitive —
+    # at the 100 TB design point the accumulated double error exceeds a
+    # cent outright (sum ~1e14 has ulp ~0.016), so values fold as exact
+    # DECIMAL(38,0) cents. TOTALITY: the fold must keep double-sum
+    # semantics for non-finite values (the r11 NaN/±inf fuzz pool):
+    # any NaN or mixed ±inf → NaN, else any ±inf → that infinity, else
+    # the exact-cents readout; non-finite rows are excluded from the
+    # cents sum (an ANSI cast of ±inf to integer aborts). Both engines
+    # compute the identical flags, so the readout stays bit-identical.
+    v = F.col("value")
+    inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+    finite = v.isNotNull() & ~F.isnan(v) & (v != inf) & (v != ninf)
+    cents = F.when(finite, F.round(v * 100, 0).cast("decimal(38,0)"))
+    rolled = (
+        bucketed.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("_c"),
+            F.sum(F.when(F.isnan(v), 1).otherwise(0)).alias("_nan"),
+            F.sum(F.when(v == inf, 1).otherwise(0)).alias("_pinf"),
+            F.sum(F.when(v == ninf, 1).otherwise(0)).alias("_ninf"),
+        )
+        .withColumn(
+            "sum_value",
+            F.when(
+                (F.col("_nan") > 0)
+                | ((F.col("_pinf") > 0) & (F.col("_ninf") > 0)),
+                F.lit(float("nan")),
+            )
+            .when(F.col("_pinf") > 0, inf)
+            .when(F.col("_ninf") > 0, ninf)
+            .otherwise(ieee_round(F.col("_c") / 100.0, 2)),
+        )
+        .drop("_c", "_nan", "_pinf", "_ninf")
+    )
     resolution = (
         F.when(F.col("h").isNotNull(), F.lit("hour"))
         .when(F.col("d").isNotNull(), F.lit("day"))
@@ -856,7 +903,18 @@ WITH b AS (
     FROM events
 ), rolled AS (
     SELECT h, d, m, count(*) AS n_events,
-           {sql_ieee_round('sum(value)', 2)} AS sum_value
+           CASE WHEN count(*) FILTER (WHERE isnan(value)) > 0
+                     OR (count(*) FILTER (WHERE value = 'infinity'::DOUBLE) > 0
+                         AND count(*) FILTER (WHERE value = '-infinity'::DOUBLE) > 0)
+                    THEN 'nan'::DOUBLE
+                WHEN count(*) FILTER (WHERE value = 'infinity'::DOUBLE) > 0
+                    THEN 'infinity'::DOUBLE
+                WHEN count(*) FILTER (WHERE value = '-infinity'::DOUBLE) > 0
+                    THEN '-infinity'::DOUBLE
+                ELSE {sql_ieee_round(
+                    'sum(CAST(round((CASE WHEN isfinite(value)'
+                    ' THEN value END) * 100) AS BIGINT)) / 100.0', 2)}
+           END AS sum_value
     FROM b
     GROUP BY GROUPING SETS ((h), (d), (m))
 )

@@ -68,7 +68,20 @@ def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.sum("c_st").cast("long").alias("n_tokens"),
-            ieee_round(F.sum(p * F.log(p / q)), 4).alias("kl_divergence"),
+            # nano-quantized term fold (r12 fold discipline): each
+            # p·ln(p/q) term is quantized to an exact 1e-9 integer
+            # before the sum, so the vocab-sized fold is order-free and
+            # a last-ulp libm difference can move the readout only if a
+            # term sits within 1e-9/2 of a quantization edge AND the
+            # sum within 1e-9 of the 4dp boundary — vs the raw double
+            # sum's full fold-order sensitivity (the kmeans incident)
+            ieee_round(
+                F.sum(
+                    F.round(p * F.log(p / q) * 1e9, 0).cast("long")
+                )
+                / 1e9,
+                4,
+            ).alias("kl_divergence"),
         )
         .orderBy("source")
     )
@@ -91,8 +104,9 @@ WITH tok AS (
 SELECT s.source,
        CAST(sum(s.c_st) AS BIGINT) AS n_tokens,
        {sql_ieee_round(
-           "sum((s.c_st * 1.0 / st.n_s) "
-           "* ln((s.c_st * 1.0 / st.n_s) / (c.c_t * 1.0 / n.n)))",
+           "sum(CAST(round((s.c_st * 1.0 / st.n_s) "
+           "* ln((s.c_st * 1.0 / st.n_s) / (c.c_t * 1.0 / n.n)) "
+           "* 1000000000) AS BIGINT)) / 1000000000.0",
            4,
        )} AS kl_divergence
 FROM src_cnt s

@@ -295,8 +295,13 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dof = (
         (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
     ).cast("long")
+    # nano-quantized term fold (r12 fold discipline): order-free sum of
+    # exact 1e-9 integers instead of a raw double fold (terms reach ~1e4,
+    # so nano units stay far inside int64)
     return joined.agg(
-        ieee_round(F.sum(term), 4).alias("chi2"),
+        ieee_round(
+            F.sum(F.round(term * 1e9, 0).cast("long")) / 1e9, 4
+        ).alias("chi2"),
         dof.alias("dof"),
     )
 
@@ -309,7 +314,8 @@ WITH obs AS (
    ct AS (SELECT lang, sum(o) AS ct FROM obs GROUP BY lang),
    n AS (SELECT sum(o) AS n FROM obs)
 SELECT {sql_ieee_round(
-    "sum(pow(o - rt * ct * 1.0 / n, 2.0) / (rt * ct * 1.0 / n))", 4
+    "sum(CAST(round(pow(o - rt * ct * 1.0 / n, 2.0)"
+    " / (rt * ct * 1.0 / n) * 1000000000) AS BIGINT)) / 1000000000.0", 4
 )} AS chi2,
        CAST((count(DISTINCT obs.source) - 1)
             * (count(DISTINCT obs.lang) - 1) AS BIGINT) AS dof

@@ -486,7 +486,12 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_name").alias("golden_name"),
             F.countDistinct("p_name").alias("n_name_variants"),
             F.count("*").alias("n_part_rows"),
-            ieee_round(F.sum("p_retailprice"), 2).alias("total_price"),
+            # exact cents fold (r12): order-free under any partitioning
+            ieee_round(
+                F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
         )
         .select(
             "golden_name", "n_name_variants", "n_part_rows", "total_price"
@@ -509,9 +514,14 @@ def check_er_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             member_rows.agg(
                 F.count("*").cast("long").alias("n_covered_rows"),
-                ieee_round(F.sum("p_retailprice"), 2).alias(
-                    "covered_price"
-                ),
+                # exact cents fold (r12): order-free on both engines
+                ieee_round(
+                    F.sum(
+                        F.round(F.col("p_retailprice") * 100, 0).cast("long")
+                    )
+                    / 100.0,
+                    2,
+                ).alias("covered_price"),
             )
         )
     )
@@ -532,7 +542,8 @@ WITH names AS (
 SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_clustered_names,
        CAST((SELECT count(*) FROM part JOIN nodes ON p_name = s) AS BIGINT)
            AS n_covered_rows,
-       (SELECT floor(sum(p_retailprice) * 100.0 + 0.5) / 100.0
+       (SELECT floor(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                     / 100.0 * 100.0 + 0.5) / 100.0
         FROM part JOIN nodes ON p_name = s) AS covered_price
 """
 
