@@ -5244,14 +5244,16 @@ assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
 #       raw double sum landing on a 4dp half boundary;
 #   (b) the 26 remaining entries whose latest green driver row is r6
 #       (the verdict's staleness list minus the two already in (a));
-#   (c) 6 of the r7-row tail, alphabetical (decontaminate_embedding and
-#       join_range_buckets already covered by (a); the rest of the r7
-#       tail — dedup_soft_weights, dsir_importance,
-#       embedding_norm_outliers, events_anomaly_zscore, events_funnel,
-#       events_retention_cohorts, events_session_window,
-#       events_time_decay, exact_substr_spans, funnel_strict_sequence —
-#       yield their slots to (a2)/(a3) and lead the r13 rotation
-#       instead; kl_source_drift moved into (a3) itself).
+#   The r7-row tail fully yielded its slots to (a2)/(a3): the (a3)
+#       sweep itself covers four r7-stale entries (dsir_importance,
+#       kl_source_drift, perplexity_score, skew_salted_join); the rest
+#       of the r7 tail (abc_classification, agg_having, agg_robust_mad,
+#       boilerplate_windows, bpe_merge_pairs, churn_feature_lift,
+#       dedup_soft_weights, embedding_norm_outliers,
+#       events_anomaly_zscore, events_funnel, events_retention_cohorts,
+#       events_session_window, events_time_decay, exact_substr_spans,
+#       funnel_strict_sequence) plus nb_source_classifier (changed in
+#       (a3) but displaced — one slot short) lead the r13 rotation.
 # The 8 rows-only entries stay excluded (once-only no_oracle records +
 # green hashable check_* twins), keeping the window a clean 50/50.
 _DRIVER_WINDOW_R12 = [
@@ -5279,6 +5281,12 @@ _DRIVER_WINDOW_R12 = [
     "check_ivf_topk",
     "kl_source_drift",
     "chi_square_independence",
+    "skew_salted_join",
+    "quality_curriculum",
+    "embedding_quantize",
+    "dsir_importance",
+    "perplexity_score",
+    "psi_price_drift",
     # (b) r6-row staleness tail, alphabetical
     "check_multimodal",
     "check_simhash_invariants",
@@ -5306,13 +5314,6 @@ _DRIVER_WINDOW_R12 = [
     "union_schema_evolution",
     "vocab_coverage",
     "window_range_frame",
-    # (c) r7-row tail, alphabetical
-    "abc_classification",
-    "agg_having",
-    "agg_robust_mad",
-    "boilerplate_windows",
-    "bpe_merge_pairs",
-    "churn_feature_lift",
 ]
 assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
 CATALOG = {

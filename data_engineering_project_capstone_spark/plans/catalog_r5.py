@@ -629,7 +629,15 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(
             F.count("*").alias("n_docs"),
-            ieee_round(F.avg("score"), 4).alias("avg_score"),
+            # score is 6dp-rounded per doc, so round(score*1e6) is an
+            # exact integer and the bucket average folds order-free
+            # (r12 fold discipline); min is order-free by nature
+            ieee_round(
+                F.sum(F.round(F.col("score") * 1e6, 0).cast("long"))
+                / F.count("*")
+                / 1e6,
+                4,
+            ).alias("avg_score"),
             ieee_round(F.min("score"), 4).alias("min_score"),
         )
         .select("lang", F.col("bucket").cast("long").alias("bucket"),
@@ -662,7 +670,9 @@ WITH scored AS (
     FROM scored
 )
 SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
-       {sql_ieee_round('avg(score)', 4)} AS avg_score,
+       {sql_ieee_round(
+           'sum(CAST(round(score * 1000000) AS BIGINT)) * 1.0'
+           ' / count(*) / 1000000.0', 4)} AS avg_score,
        {sql_ieee_round('min(score)', 4)} AS min_score
 FROM bucketed
 GROUP BY lang, bucket
@@ -717,7 +727,16 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            ieee_round(F.avg("mse") * 1e6, 4).alias("avg_mse_ppm"),
+            # per-vec mse quantized to exact 1e-12 integers before the
+            # group fold (r12 fold discipline): the per-vec value is a
+            # fixed-order array fold (engine-identical), but the
+            # per-label average was a raw double sum; max is order-free
+            ieee_round(
+                F.sum(F.round(F.col("mse") * 1e12, 0).cast("long"))
+                / F.count("*")
+                / 1e6,
+                4,
+            ).alias("avg_mse_ppm"),
             ieee_round(F.max("mse") * 1e6, 4).alias("max_mse_ppm"),
         )
         .select(F.col("label").cast("long").alias("label"),
@@ -739,7 +758,9 @@ WITH g AS (
     FROM embeddings CROSS JOIN g
 )
 SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
-       {sql_ieee_round('avg(mse) * 1e6', 4)} AS avg_mse_ppm,
+       {sql_ieee_round(
+           'sum(CAST(round(mse * 1e12) AS BIGINT)) * 1.0'
+           ' / count(*) / 1e6', 4)} AS avg_mse_ppm,
        {sql_ieee_round('max(mse) * 1e6', 4)} AS max_mse_ppm
 FROM per
 GROUP BY label
@@ -1183,15 +1204,21 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_table(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # gaps measured in exact integer MICROSECONDS (r12 fold discipline):
+    # a raw double-seconds sum is fold-order-sensitive at the 2dp
+    # readout boundary; integer micros fold order-free and both engines
+    # divide the identical exact sums at readout
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     return (
-        ev.select("user_id", gap.alias("gap_s"))
-        .filter(F.col("gap_s").isNotNull())
+        ev.select("user_id", gap_us.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_gaps"),
-            ieee_round(F.avg("gap_s"), 2).alias("avg_gap_s"),
-            ieee_round(F.max("gap_s"), 2).alias("max_gap_s"),
+            ieee_round(
+                F.sum("gap_us") / F.count("*") / 1e6, 2
+            ).alias("avg_gap_s"),
+            ieee_round(F.max("gap_us") / 1e6, 2).alias("max_gap_s"),
         )
         .orderBy("user_id")
     )
@@ -1200,14 +1227,17 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_GAP_STATS_SQL = f"""
 WITH g AS (
     SELECT user_id,
-           epoch(ts) - epoch(lag(ts) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+           epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                 AS TIMESTAMP)) AS gap_us
     FROM events
 )
 SELECT user_id, count(*) AS n_gaps,
-       {sql_ieee_round('avg(gap_s)', 2)} AS avg_gap_s,
-       {sql_ieee_round('max(gap_s)', 2)} AS max_gap_s
-FROM g WHERE gap_s IS NOT NULL
+       {sql_ieee_round('sum(gap_us) * 1.0 / count(*) / 1e6', 2)}
+           AS avg_gap_s,
+       {sql_ieee_round('max(gap_us) / 1e6', 2)} AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """

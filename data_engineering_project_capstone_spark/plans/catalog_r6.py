@@ -170,12 +170,21 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_ratio"),
         )
     )
+    # per-token log-ratios quantized to exact 1e-9 integers in the
+    # broadcast table (r12 fold discipline): the per-doc mean is then an
+    # order-free integer sum over both engines' identical values, and a
+    # last-ulp ln() difference can only matter within 5e-10 of an edge
+    ratio = ratio.select(
+        "tok", F.round(F.col("log_ratio") * 1e9, 0).cast("long").alias("lr9")
+    )
     return (
         tok.join(F.broadcast(ratio), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            ieee_round(F.avg("log_ratio"), 4).alias("dsir_weight"),
+            ieee_round(
+                F.sum("lr9") / F.count("*") / 1e9, 4
+            ).alias("dsir_weight"),
         )
         .orderBy("doc_id")
     )
@@ -197,13 +206,16 @@ WITH tok AS (
     SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v FROM cnt
 ), ratio AS (
     SELECT tok,
-           ln(((c_tgt + 1) * 1.0 / (n_tgt + v))
-              / ((c_raw + 1) * 1.0 / (n_raw + v))) AS log_ratio
+           CAST(round(ln(((c_tgt + 1) * 1.0 / (n_tgt + v))
+                         / ((c_raw + 1) * 1.0 / (n_raw + v)))
+                      * 1000000000) AS BIGINT) AS lr9
     FROM cnt CROSS JOIN tot
 )
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       {sql_ieee_round("avg(r.log_ratio)", 4)} AS dsir_weight
+       {sql_ieee_round(
+           "sum(r.lr9) * 1.0 / count(*) / 1000000000.0", 4
+       )} AS dsir_weight
 FROM tok t JOIN ratio r USING (tok)
 GROUP BY t.doc_id
 ORDER BY t.doc_id

@@ -641,16 +641,25 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    # per-token -log p quantized to exact 1e-9 integers in the
+    # broadcast table (r12 fold discipline): the per-doc mean folds
+    # order-free integers on both engines
     logp = cnt.crossJoin(F.broadcast(tot)).select(
         "tok",
-        (-F.log((F.col("c") + 1) / (F.col("n") + F.col("v")))).alias("nll"),
+        F.round(
+            -F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))) * 1e9, 0
+        )
+        .cast("long")
+        .alias("nll9"),
     )
     return (
         tok.join(F.broadcast(logp), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            ieee_round(F.avg("nll"), 4).alias("cross_entropy"),
+            ieee_round(
+                F.sum("nll9") / F.count("*") / 1e9, 4
+            ).alias("cross_entropy"),
         )
         .orderBy("doc_id")
     )
@@ -666,12 +675,16 @@ WITH tok AS (
 ), tot AS (
     SELECT sum(c) AS n, count(*) AS v FROM cnt
 ), logp AS (
-    SELECT tok, -ln((c + 1) * 1.0 / (n + v)) AS nll
+    SELECT tok,
+           CAST(round(-ln((c + 1) * 1.0 / (n + v)) * 1000000000)
+                AS BIGINT) AS nll9
     FROM cnt CROSS JOIN tot
 )
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       {sql_ieee_round("avg(l.nll)", 4)} AS cross_entropy
+       {sql_ieee_round(
+           "sum(l.nll9) * 1.0 / count(*) / 1000000000.0", 4
+       )} AS cross_entropy
 FROM tok t JOIN logp l USING (tok)
 GROUP BY t.doc_id
 ORDER BY t.doc_id

@@ -200,8 +200,25 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
+            # exact revenue-unit fold (q1 idiom, r12 fold discipline):
+            # raw double revenue sums are fold-order-sensitive at the
+            # 2dp readout boundary; DECIMAL(38,0) units fold exactly
             ieee_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (
+                        F.round(F.col("l_extendedprice") * 100, 0).cast(
+                            "long"
+                        )
+                        * (
+                            F.lit(100)
+                            - F.round(F.col("l_discount") * 100, 0).cast(
+                                "long"
+                            )
+                        )
+                    ).cast("decimal(38,0)")
+                )
+                / 10000.0,
+                2,
             ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
@@ -211,7 +228,10 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKEW_SALTED_JOIN_SQL = f"""
 SELECT o_orderpriority,
        count(*) AS n_items,
-       {sql_ieee_round("sum(l_extendedprice * (1 - l_discount))", 2)}
+       {sql_ieee_round(
+           "sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+           " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+           " / 10000.0", 2)}
            AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

@@ -164,12 +164,23 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = None
     for _ in range(_KM_ITERS):
+        # per-element squared diffs quantized to exact 1e-9 integers
+        # before the per-vec fold (r12 fold discipline): subtraction
+        # and squaring are exact IEEE ops on engine-identical inputs,
+        # but the sum over pos was a raw double fold; d stays a 1e-9-
+        # granular double so the (d, cid) assignment order and the
+        # micro-unit inertia fold downstream are unchanged in kind
         d = (
             pts.join(F.broadcast(cent), "pos")
             .groupBy("vec_id", "cid")
             .agg(
-                ieee_round(
-                    F.sum((F.col("x") - F.col("cx")) ** 2), 6
+                (
+                    F.sum(
+                        F.round(
+                            (F.col("x") - F.col("cx")) ** 2 * 1e9, 0
+                        ).cast("long")
+                    )
+                    / 1e9
                 ).alias("d")
             )
         )
@@ -220,7 +231,8 @@ WITH pts AS (
         body.append(
             f""", d{i} AS (
     SELECT p.vec_id, c.cid,
-           {sql_ieee_round("sum((p.x - c.cx) * (p.x - c.cx))", 6)} AS d
+           sum(CAST(round((p.x - c.cx) * (p.x - c.cx) * 1000000000)
+                    AS BIGINT)) / 1000000000.0 AS d
     FROM pts p JOIN cent{i - 1} c USING (pos)
     GROUP BY p.vec_id, c.cid
 ), a{i} AS (
@@ -341,15 +353,24 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "actual",
             "cand",
             "log_prior",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + 1)
-                / (F.col("n_s") + F.lit(float(vocab)))
-            ).alias("ll"),
+            # per-token log-likelihoods quantized to exact 1e-9
+            # integers (r12 fold discipline): the per-(doc,class) sum
+            # folds order-free; the prior joins back at readout
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_s") + F.lit(float(vocab)))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("ll9"),
         )
         .groupBy("doc_id", "actual", "cand")
         .agg(
             ieee_round(
-                F.sum("ll") + F.first("log_prior"), 6
+                F.sum("ll9") / 1e9 + F.first("log_prior"), 6
             ).alias("score")
         )
     )
@@ -414,9 +435,12 @@ ORDER BY actual, predicted
 
 
 def _nb_sql() -> str:
+    # per-token ll quantized to 1e-9 integers before the per-(doc,class)
+    # fold — mirrors the Spark side (r12 fold discipline)
     round6 = sql_ieee_round(
-        "sum(ln((coalesce(c.c, 0) + 1) * 1.0 / (s.n_s + vocab.v)))"
-        " + any_value(s.log_prior)",
+        "sum(CAST(round(ln((coalesce(c.c, 0) + 1) * 1.0"
+        " / (s.n_s + vocab.v)) * 1000000000) AS BIGINT))"
+        " / 1000000000.0 + any_value(s.log_prior)",
         6,
     )
     return NB_SOURCE_CLASSIFIER_SQL.format(sql_toks=_SQL_TOKS, round6=round6)

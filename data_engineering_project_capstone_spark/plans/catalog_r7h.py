@@ -333,12 +333,22 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("q"),
     )
     pair = sm.join(prev, ["mon", "bin"])
+    # PSI terms quantized to exact 1e-9 integers before the per-month
+    # fold (r12 fold discipline, the KL/χ² idiom)
     return (
         pair.groupBy("mon")
         .agg(
             F.count("*").alias("n_bins"),
             ieee_round(
-                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                F.sum(
+                    F.round(
+                        (F.col("p") - F.col("q"))
+                        * F.log(F.col("p") / F.col("q"))
+                        * 1e9,
+                        0,
+                    ).cast("long")
+                )
+                / 1e9,
                 4,
             ).alias("psi"),
         )
@@ -385,7 +395,9 @@ pair AS (
 )
 SELECT CAST(mon AS BIGINT) AS mon,
        CAST(count(*) AS BIGINT) AS n_bins,
-       {sql_ieee_round("sum((p - q) * ln(p / q))", 4)} AS psi
+       {sql_ieee_round(
+           "sum(CAST(round((p - q) * ln(p / q) * 1000000000)"
+           " AS BIGINT)) / 1000000000.0", 4)} AS psi
 FROM pair
 GROUP BY mon
 ORDER BY mon
