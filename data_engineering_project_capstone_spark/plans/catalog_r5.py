@@ -1079,6 +1079,11 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     ).toDF("label", "pos", "val")
+    # fold-discipline note (r12 audit): this avg over RAW doubles is
+    # deliberately exempt — the summands are float32-originated (24-bit
+    # mantissa, |x|~1), so their double sum is EXACT (hence order-free)
+    # while 24 + log2(group size) <= 53, i.e. up to ~5e8 vectors per
+    # label; past that, switch to a quantized fold like kmeans' d
     per_dim = ex.groupBy("label", "pos").agg(
         ieee_round(F.avg("val"), 6).alias("m")
     )

@@ -263,7 +263,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # labels-sized centroid table: posexplode → per-(label,pos) mean
     # rounded 6dp → reassembled in pos order (same shape as the
-    # embedding_centroids entry).
+    # embedding_centroids entry, incl. its float32-exact-sum fold
+    # exemption — see the r12 fold-discipline note there).
     cent = (
         emb.select("label", F.posexplode("v"))
         .toDF("label", "pos", "val")
