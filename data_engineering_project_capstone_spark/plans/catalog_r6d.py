@@ -249,23 +249,54 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and daily purchase count series.
 
     Scale shape: conditional-sum pivot to one row per day (single
-    map-combined shuffle), then the corr/covar aggregate over the tiny
-    day series. Spark's corr/covar_samp and DuckDB's are the same
-    two-pass-free streaming formulations; residual ulp noise is
-    absorbed by 6dp IEEE rounding."""
+    map-combined shuffle), then the corr/covar readout over the tiny
+    day series. Both statistics are computed from EXACT integer sums
+    (n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) — daily counts square
+    past int64 at the 100 TB design point) with the textbook closed
+    forms, NOT the engines' native corr/covar aggregates: (a) exact
+    integer folds are order-free (r12 fold discipline), (b) both
+    engines then execute the identical double ops on identical
+    integers — no streaming-formulation ulp to absorb — and (c)
+    Spark 4's ANSI ``corr`` RAISES DIVIDE_BY_ZERO on a zero-variance
+    series (caught by the r12 mixnull full-catalog sweep: duplicated
+    keys + NULL measures collapse the day series to a constant) where
+    DuckDB returns NULL; the explicit guards give NULL on both."""
     ev = events_table(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("double")
-        .alias("clicks"),
+        .cast("long")
+        .alias("x"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("double")
-        .alias("purchases"),
+        .cast("long")
+        .alias("y"),
     )
-    return daily.agg(
-        F.count("*").cast("long").alias("n_days"),
-        ieee_round(F.corr("clicks", "purchases"), 6).alias("corr_cp"),
-        ieee_round(F.covar_samp("clicks", "purchases"), 6).alias("covar_cp"),
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        F.col("n").alias("n_days"),
+        ieee_round(
+            F.when(
+                (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+                cov_num / F.sqrt(vx * vy),
+            ),
+            6,
+        ).alias("corr_cp"),
+        ieee_round(
+            F.when(F.col("n") >= 2, cov_num / n / (n - 1)), 6
+        ).alias("covar_cp"),
     )
 
 
@@ -273,15 +304,30 @@ AGG_CORRELATION_SQL = f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS d,
            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                AS DOUBLE) AS clicks,
+                AS BIGINT) AS x,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                AS DOUBLE) AS purchases
+                AS BIGINT) AS y
     FROM events GROUP BY 1
+), s AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM daily
+), t AS (
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS cov_num,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+           CAST(n * syy - sy * sy AS DOUBLE) AS vy
+    FROM s
 )
-SELECT CAST(count(*) AS BIGINT) AS n_days,
-       {sql_ieee_round("corr(clicks, purchases)", 6)} AS corr_cp,
-       {sql_ieee_round("covar_samp(clicks, purchases)", 6)} AS covar_cp
-FROM daily
+SELECT CAST(n AS BIGINT) AS n_days,
+       {sql_ieee_round(
+           "CASE WHEN n >= 2 AND vx > 0 AND vy > 0"
+           " THEN cov_num / sqrt(vx * vy) END", 6)} AS corr_cp,
+       {sql_ieee_round(
+           "CASE WHEN n >= 2"
+           " THEN cov_num / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)"
+           " END", 6)} AS covar_cp
+FROM t
 """
 
 
