@@ -1654,8 +1654,17 @@ def _minhash_components(spark: SparkSession, sf_dir: str):
         per_session = _SessionMemo()
         setattr(spark, _CC_MEMO_ATTR, per_session)
     if sf_dir not in per_session:
+        from ..operators.lineage import materialize
+
         docs = t(spark, sf_dir, "documents")
-        pairs = minhash_lsh_pairs(docs, threshold=0.3)
+        # Materialize the pair list ONCE (r13 eval census): within one
+        # cold evaluation the full LSH pipeline (shingle explode,
+        # signature agg, band join, verify) otherwise re-executes ~3x —
+        # twice inside the CC edge checkpoint's symmetric union and
+        # once more in the consumer's own readout (5 documents scans
+        # per cold run measured; 2 after). Pairs are id-pair-sized.
+        pairs = materialize(minhash_lsh_pairs(docs, threshold=0.3),
+                            eager=True)
         # near-dup graphs are shallow: 4 fixed propagation rounds, no
         # convergence actions (see connected_components docstring)
         comps = connected_components(
@@ -3094,8 +3103,13 @@ def _split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog entry and test_clusters' distribution assertions."""
     docs = t(spark, sf_dir, "documents")
     _, comps = _minhash_components(spark, sf_dir)
+    # comps has one row per document appearing in any near-dup pair —
+    # on a real pre-dedup crawl that is 30-50% of the corpus, i.e. O(N)
+    # documents-derived, so it must NOT carry a broadcast hint (r13
+    # de-hint); a shuffle left join on doc_id is the correct 100 TB plan
+    # and AQE still broadcasts at test scale.
     with_rep = docs.join(
-        F.broadcast(comps.select(F.col("id").alias("doc_id"), "component")),
+        comps.select(F.col("id").alias("doc_id"), "component"),
         "doc_id",
         "left",
     ).withColumn("rep", F.coalesce(F.col("component"), F.col("doc_id")))
@@ -3126,8 +3140,10 @@ def split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split CASE has an otherwise branch; coverage at 6-doc degenerate /
     150-doc fuzz scale stays a local-pytest concern in
     tests/test_clusters.py). Composition:
-    MinHash-LSH pairs → connected components → broadcast rep-hash join →
-    content-addressed bucket split."""
+    MinHash-LSH pairs → connected components → un-hinted rep join
+    (the component map is documents-derived O(corpus); AQE may
+    broadcast where it fits — r13 de-hint) → content-addressed
+    bucket split."""
     assigned = _split_assignments(spark, sf_dir)
     leaky = (
         assigned.groupBy("rep")
@@ -5316,11 +5332,86 @@ _DRIVER_WINDOW_R12 = [
     "window_range_frame",
 ]
 assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
+
+# Round-13 driver window — changed-first, then staleness (r12 verdict
+# ask #2):
+#   (a) the 2 entries rewritten in r12 AFTER that round's window filled,
+#       so their latest fix postdates their latest driver row:
+#       agg_correlation (exact-integer-sums correlation rewrite, latest
+#       row r8) and nb_source_classifier (fold hardening, latest row
+#       r10);
+#   (b) the 3 entries changed by THIS round's broadcast de-hint sweep
+#       (verdict ask #1): bloom_prefilter_join (customer key-panel hint
+#       dropped), split_assign and split_no_leakage (near-dup component
+#       map hint dropped in their shared _split_assignments helper);
+#   (c) the full r7-row staleness tail (29 entries, alphabetical — all
+#       fit);
+#   (d) r8-row entries alphabetical to fill 50 (agg_correlation already
+#       in (a)).
+# The 8 rows-only entries stay excluded (once-only no_oracle records +
+# green hashable check_* twins), keeping the window a clean 50/50.
+_DRIVER_WINDOW_R13 = [
+    # (a) r12 late rewrites
+    "agg_correlation",
+    "nb_source_classifier",
+    # (b) r13 de-hinted
+    "bloom_prefilter_join",
+    "split_assign",
+    "split_no_leakage",
+    # (c) r7-row staleness tail, alphabetical
+    "abc_classification",
+    "agg_having",
+    "agg_robust_mad",
+    "boilerplate_windows",
+    "bpe_merge_pairs",
+    "churn_feature_lift",
+    "dedup_soft_weights",
+    "embedding_norm_outliers",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_session_window",
+    "events_time_decay",
+    "exact_substr_spans",
+    "funnel_strict_sequence",
+    "langid_confusion",
+    "orders_cohort_ltv",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q5_local_volume",
+    "rolling_distinct_users",
+    "semdedup_prune",
+    "session_bounce_rate",
+    "set_intersect",
+    "sketch_cms_topk",
+    "skew_profile",
+    "subquery_scalar_avg",
+    "survival_signup_purchase",
+    "text_readability",
+    # (d) r8-row staleness, alphabetical fill
+    "ab_test_analysis",
+    "benford_digit_test",
+    "check_pixel_parity",
+    "check_png_pixels",
+    "check_wav_samples",
+    "churn_labels",
+    "event_paths",
+    "events_json_variant",
+    "events_seasonality",
+    "graph_core_peel",
+    "info_gain_terms",
+    "join_attribution_window",
+    "knn_graph_radius",
+    "linreg_by_group",
+    "ndcg_label_eval",
+    "pit_features",
+]
+assert len(_DRIVER_WINDOW_R13) == 50, len(_DRIVER_WINDOW_R13)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R12,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R12)),
+        *_DRIVER_WINDOW_R13,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R13)),
     )
 }
 

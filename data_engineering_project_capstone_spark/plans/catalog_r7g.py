@@ -233,8 +233,11 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment customers → k=2 / m=4096 bit set → orders pre-filter.
     n_false_pos is the price of the filter, fpr its measured rate over
     the true negatives. The bit-position table is bounded by m and
-    broadcast; the fact side is two broadcast semi joins — the fact
-    never shuffles, which is the entire point at 100 TB."""
+    broadcast; the Bloom pass is two broadcast semi joins — the fact
+    never shuffles on that path, which is the entire point at 100 TB.
+    The true-match audit join (orders ⋉ keys) is un-hinted: keys is a
+    constant fraction of customer (SF-scaling), so broadcast is left to
+    stats/AQE (r13 de-hint)."""
     # NULL keys carry no Bloom bits (md5(NULL) -> NULL; the oracle's
     # '0x'||NULL cast would crash) and can never equality-match anyway —
     # excluded from build AND probe on both sides. Degenerate nets.
@@ -266,8 +269,12 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(
         F.broadcast(bits.select(F.col("b").alias("h2"))), "h2", "left_semi"
     )
+    # keys is a ~1/5 constant fraction of customer (SF-scaling: ~1.5B
+    # rows at the 100 TB design point) — it must NOT carry a broadcast
+    # hint; stats/AQE pick broadcast where it actually fits (r13 de-hint;
+    # the two `bits` hints above stay: bounded by m=4096 by construction).
     true_m = orders.join(
-        F.broadcast(keys.select(F.col("c_custkey").alias("o_custkey"))),
+        keys.select(F.col("c_custkey").alias("o_custkey")),
         "o_custkey",
         "left_semi",
     )
