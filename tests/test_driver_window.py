@@ -1,0 +1,94 @@
+"""Standing staleness assertion on the driver window (r12 verdict ask
+#7a: the per-round manual staleness audit, retired into a tripwire).
+
+The driver evaluates ``queries()[:50]`` each round against the DuckDB
+oracle. The rotation rule the verdicts converged on: lead with entries
+whose CODE changed since their last driver row (manual, git-dependent —
+not machine-checked here), then fill with the STALEST oracle-paired
+entries (oldest latest-green CORRECTNESS row). This test pins the
+machine-checkable half: no oracle-paired entry outside the current
+window may be strictly staler than the freshness floor of the entries
+left out — i.e. the window must contain ALL entries from the oldest
+remaining rounds (up to the changed-first leads, which are allowed to
+displace the newest tail of the staleness fill).
+
+Rows-only entries (no oracle SQL) are excluded by design: they carry a
+once-only no_oracle record plus a green hashable check_* twin.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Entries allowed to lead the window ahead of strict staleness order:
+# changed since their last driver row (kept in sync with the window
+# comment in plans/catalog.py each round).
+CHANGED_FIRST_LEADS = {
+    # r13: r12 late rewrites + this round's broadcast de-hints + the
+    # r13 eval-census materialize fix (er/check_er share _er_clusters)
+    "agg_correlation",
+    "nb_source_classifier",
+    "bloom_prefilter_join",
+    "split_assign",
+    "split_no_leakage",
+    "check_er_mass",
+    "fuzzy_name_pairs",
+    "check_minhash_containment",
+}
+
+
+def _latest_green() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name, row in json.load(open(f)).items():
+            ok = row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_window_contains_all_stalest_oracle_entries():
+    import __spark_entry__ as entry
+
+    names = list(entry.queries().keys())
+    oracle = set(entry.oracle_sql().keys())
+    window = [n for n in names[:50]]
+    assert len(window) == 50
+    assert all(n in oracle for n in window), (
+        "window slots must all be oracle-paired (rows-only entries get "
+        "once-only records + check_* twins)"
+    )
+
+    latest = _latest_green()
+    outside = [n for n in names[50:] if n in oracle]
+    # every outside entry must have SOME green row (full-catalog
+    # coverage across rounds — an entry with no row ever is a gap)
+    missing = [n for n in outside if n not in latest]
+    assert not missing, f"oracle entries with no green driver row: {missing}"
+
+    floor_outside = min(latest[n] for n in outside)
+    # any entry strictly staler than everything left outside MUST be in
+    # the window (modulo the changed-first leads, which never hurt:
+    # they occupy slots but the assertion is about omissions)
+    too_stale_omitted = [
+        n for n in outside if latest[n] < floor_outside
+    ]  # vacuous by construction — kept for clarity
+    assert not too_stale_omitted
+    stale_window_required = [
+        n
+        for n, r in latest.items()
+        if r < floor_outside and n in oracle and n in names
+    ]
+    not_in_window = [n for n in stale_window_required if n not in window]
+    assert not not_in_window, (
+        f"entries staler (r<{floor_outside}) than every omitted entry "
+        f"are missing from the driver window: {not_in_window}"
+    )
