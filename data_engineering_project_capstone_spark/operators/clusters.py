@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import materialize
+
 
 def connected_components(
     pairs: DataFrame,
@@ -76,11 +78,14 @@ def connected_components(
     # LSH: shingle explode, signature agg, band shuffle, verify joins)
     # once per round — O(rounds × upstream-pipeline), measured 40s vs 7s
     # on the sf0.1 near-dup graph (r12, BENCH_NOTES) and catastrophic at
-    # the 100 TB design point. The labels' per-probe localCheckpoints cut
+    # the 100 TB design point. (Cuts go through lineage.materialize:
+    # reliable checkpoint when a checkpoint dir is configured, else
+    # localCheckpoint — see operators/lineage.py for the executor-loss
+    # fail-stop trade-off.) The labels' per-probe cuts cut
     # the LABEL lineage but never the edge lineage; this cut is the edge
     # twin. Edge lists are pair-count-sized (two longs per edge), so the
     # materialization is small at any SF.
-    edges = edges.localCheckpoint(eager=True)
+    edges = materialize(edges, eager=True)
     # label(node) = min(node, min neighbor) to start
     labels = edges.groupBy("a").agg(F.min("b").alias("nbr_min")).select(
         F.col("a").alias("id"),
@@ -148,7 +153,7 @@ def connected_components(
         # on the shallow-graph entries; same finding as operators/graph.py
         # pagerank, where uncut 5-iteration DAGs ran 0.6s vs 2.1s).
         if probing or (not check_convergence and (it + 1) % probe_every == 0):
-            labels = labels.localCheckpoint(eager=True)
+            labels = materialize(labels, eager=True)
         if probing:
             cur = _label_sum(labels)
             if cur is None:
@@ -183,7 +188,7 @@ def connected_components(
         # confirm round disambiguates: labels are monotone non-increasing,
         # so an unchanged sum proves no label moved — return quietly (the
         # extra round's labels are identical by that same argument).
-        confirm = _one_round(labels).localCheckpoint(eager=True)
+        confirm = materialize(_one_round(labels), eager=True)
         if _label_sum(confirm) == prev_sum:
             return confirm
         labels = confirm  # one more round of real progress: keep it

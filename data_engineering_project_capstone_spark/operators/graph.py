@@ -10,7 +10,10 @@ Scale shape per iteration: one join ranks⋈edges on src (broadcast the
 rank vector only if the node set is small — by default both sides
 shuffle-partition on the join key, the right choice for web-scale
 graphs), one groupBy dst (map-side combined). Lineage is cut with
-``localCheckpoint`` every ``checkpoint_every`` iterations — needed on
+``lineage.materialize`` (reliable checkpoint when a checkpoint dir is
+set, localCheckpoint otherwise — see operators/lineage.py for the
+executor-loss fail-stop trade-off) every ``checkpoint_every``
+iterations — needed on
 DEEP runs, where the plan doubles per round and the optimizer chokes
 by iteration ~8 (same hazard as clusters.py's label propagation). On
 shallow runs the cut is pure overhead and is skipped: within one
@@ -26,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .lineage import materialize
 
 
 def pagerank(
@@ -56,7 +61,7 @@ def pagerank(
     # exactly this reason). Materialize the invariants up front only
     # when that regime is reachable.
     if iterations > checkpoint_every:
-        e = e.localCheckpoint(eager=True)
+        e = materialize(e, eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -64,8 +69,8 @@ def pagerank(
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     if iterations > checkpoint_every:
-        nodes = nodes.localCheckpoint(eager=True)
-        outdeg = outdeg.localCheckpoint(eager=True)
+        nodes = materialize(nodes, eager=True)
+        outdeg = materialize(outdeg, eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
         contribs = (
@@ -85,5 +90,5 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = materialize(ranks, eager=True)
     return ranks

@@ -97,6 +97,11 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # explicit (it is the Spark default): the evaluation-count guard
+        # tests (tests/test_clusters.py, tests/test_graph.py) count UDF
+        # executions via accumulators, and a speculative duplicate task
+        # re-adds its partition's count.
+        .config("spark.speculation", "false")
     )
     extra_conf = dict(extra_conf or {})
     # Like every JVM option here, this only takes effect when this call

@@ -63,6 +63,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addPyFile(_package_zip())
+    # PROBE_CHECKPOINT_DIR switches the iterative operators' lineage
+    # cuts (operators/lineage.py) onto the RELIABLE checkpoint path —
+    # blocks re-readable after executor loss. Without it, a kill landing
+    # after a localCheckpoint cut fail-stops the job by design (loud,
+    # never a wrong answer) instead of recovering.
+    ckpt = os.environ.get("PROBE_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
 
     app_id = spark.sparkContext.applicationId
     state = {"killed": [], "kill_ts": []}

@@ -157,7 +157,11 @@ def test_cc_evaluates_pairs_input_exactly_once(spark):
         pairs, max_iterations=4, check_convergence=False
     )
     comps.count()
-    assert n <= acc.value <= 2 * n, (
+    # upper bound carries n//2 slack: a (rare) retried task re-adds its
+    # partition's accumulator count even with speculation pinned off
+    # (advisor r12) — the guarded regression signal is >= 3x.
+    assert n <= acc.value <= 2 * n + n // 2, (
         f"pairs input evaluated {acc.value / n:.1f}x — the edge list is "
-        f"being recomputed inside the propagation loop"
+        f"being recomputed inside the propagation loop (expected <= 2x "
+        f"+ retry slack; retried/speculative tasks re-add counts)"
     )

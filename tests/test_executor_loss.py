@@ -10,10 +10,16 @@ deterministic under partial re-execution, which is exactly the
 discipline the determinism + partition-invariance nets enforce; this
 test closes the loop by exercising the actual recovery machinery.
 
-One probe entry in the suite (simjoin_prefix at sf0.1: multi-stage,
-shuffle-heavy, long enough that the kill lands mid-query); the r11
-session also probed dbscan_customers (iterative CC) and
-check_multimodal (executor-side Python workers) — all bit-identical
+Two probe entries in the suite: simjoin_prefix at sf0.1 (multi-stage,
+shuffle-heavy, long enough that the kill lands mid-query) on the
+default lineage path, and split_assign (a connected-components
+consumer) with PROBE_CHECKPOINT_DIR set, which switches the iterative
+operators' lineage cuts (operators/lineage.py) onto the RELIABLE
+checkpoint path — without it an executor loss landing after a
+localCheckpoint cut fail-stops the job by design (advisor r12: blocks
+live only on executors, lineage truncated), which is loud but not
+recovery. The r11 session also probed dbscan_customers (iterative CC)
+and check_multimodal (executor-side Python workers) — all bit-identical
 after recovery (BENCH_NOTES).
 """
 
@@ -29,23 +35,25 @@ from data_engineering_project_capstone_spark.plans.catalog import CATALOG
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "scripts", "executor_loss_probe.py")
 SF = "/root/testdata/sf0.1"
-ENTRY = "simjoin_prefix"
 
 
-def test_result_identical_after_executor_loss(spark):
-    rows = CATALOG[ENTRY].spark_fn(spark, SF).collect()
+def _local_fingerprint(spark, entry):
+    rows = CATALOG[entry].spark_fn(spark, SF).collect()
     reprs = sorted(repr(tuple(r)) for r in rows)
-    local = (
+    return (
         len(reprs),
         hashlib.sha256("\n".join(reprs).encode()).hexdigest(),
     )
 
+
+def _run_probe(entry, kill_after, env=None):
     out = subprocess.run(
-        [sys.executable, SCRIPT, SF, ENTRY, "3"],
+        [sys.executable, SCRIPT, SF, entry, str(kill_after)],
         capture_output=True,
         text=True,
         timeout=900,
         cwd=REPO,
+        env={**os.environ, **(env or {})},
     )
     assert out.returncode == 0, (
         f"probe failed (rc={out.returncode}; rc=2 means no kill landed "
@@ -60,7 +68,29 @@ def test_result_identical_after_executor_loss(spark):
     )
     assert lines["KILLED"][0] != "None", "no executor was killed"
     assert lines["MIDQUERY"][0] == "1", "kill landed outside the query window"
-    got = (int(lines[ENTRY][0]), lines[ENTRY][1])
+    return (int(lines[entry][0]), lines[entry][1])
+
+
+def test_result_identical_after_executor_loss(spark):
+    entry = "simjoin_prefix"
+    local = _local_fingerprint(spark, entry)
+    assert _run_probe(entry, 3) == local, (
+        f"{entry}: result changed after executor loss + recovery"
+    )
+
+
+def test_cc_consumer_recovers_with_reliable_checkpoint(spark, tmp_path):
+    """split_assign = MinHash LSH → connected components → split join:
+    its lineage cuts go through operators/lineage.materialize, so with a
+    checkpoint dir the cut blocks are re-readable from storage and a
+    mid-query executor SIGKILL must recover to the identical result
+    (the 100 TB recovery story for the iterative operators)."""
+    entry = "split_assign"
+    local = _local_fingerprint(spark, entry)
+    got = _run_probe(
+        entry, 4, env={"PROBE_CHECKPOINT_DIR": str(tmp_path / "ckpt")}
+    )
     assert got == local, (
-        f"{ENTRY}: result changed after executor loss + recovery"
+        f"{entry}: result changed after executor loss + recovery on the "
+        f"reliable-checkpoint path"
     )

@@ -289,7 +289,12 @@ def test_pagerank_checkpoint_regime_evaluates_edges_once(spark):
     )
     ranks = pagerank(edges, iterations=8, checkpoint_every=3)
     assert ranks.count() == n
-    assert n <= acc.value <= 2 * n, (
+    # upper bound carries n//2 slack: a (rare) retried task re-adds its
+    # partition's accumulator count even with speculation pinned off
+    # (advisor r12) — the guarded regression signal is >= 3x.
+    assert n <= acc.value <= 2 * n + n // 2, (
         f"edges input evaluated {acc.value / n:.1f}x — loop-invariant "
-        f"inputs are being recomputed inside the checkpointed loop"
+        f"inputs are being recomputed inside the checkpointed loop "
+        f"(expected <= 2x + retry slack; retried/speculative tasks "
+        f"re-add counts)"
     )
