@@ -424,8 +424,15 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision over a distinct-name domain is ~n²/2⁶⁵ — and would only
     merge two clusters, never crash."""
     from ..operators.clusters import connected_components
+    from ..operators.lineage import materialize
 
-    pairs = fuzzy_pairs_for_er(spark, sf_dir)
+    # Materialize the pair list ONCE (r13 eval census, scripts/
+    # eval_census.py): unmaterialized, the blocked levenshtein
+    # self-join re-executed 4x per entry evaluation — twice inside the
+    # CC edge checkpoint (symmetric union) and twice in the name-set
+    # union below — 9 part scans per run measured; 3 after. Pairs are
+    # pair-count-sized (two short strings), tiny at any SF.
+    pairs = materialize(fuzzy_pairs_for_er(spark, sf_dir), eager=True)
     hashed = pairs.select(
         F.xxhash64("name_a").alias("name_a"),
         F.xxhash64("name_b").alias("name_b"),
