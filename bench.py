@@ -101,13 +101,17 @@ def main() -> None:
     # two runs per query, report the min: steady-state throughput (first
     # run pays per-plan codegen compile, which amortizes on a real cluster)
     times: dict[str, float] = {}
+    first_rep: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].spark_fn
         best = float("inf")
-        for _ in range(2):
+        for rep in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if rep == 0:
+                first_rep[name] = dt
+            best = min(best, dt)
         times[name] = round(best, 3)
 
     out = {
@@ -115,6 +119,18 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        # Standing dual number for the session-memoized CC-consumer
+        # family (r12 verdict ask #4): its min-of-2 times the memo hit,
+        # so a regression in the UNMEMOIZED pipeline (the r12 CC
+        # edge-materialization bug class) would be invisible in
+        # `queries`. The first rep of dedup_minhash_lsh is the first
+        # touch of the session memo — the honest warm unmemoized cost
+        # of the full LSH → CC pipeline.
+        "aux": {
+            "dedup_minhash_lsh_unmemoized_warm_sec": round(
+                first_rep["dedup_minhash_lsh"], 3
+            ),
+        },
         "sf": float(sf),
     }
     print(json.dumps(out))
