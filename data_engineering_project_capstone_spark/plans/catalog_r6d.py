@@ -309,8 +309,14 @@ WITH daily AS (
                 AS BIGINT) AS y
     FROM events GROUP BY 1
 ), s AS (
+    -- products widened to HUGEINT to mirror the Spark side's
+    -- DECIMAL(38,0) sums (advisor r12: plain BIGINT x*y contradicted
+    -- the stated exact-integer contract; daily counts square past
+    -- int64 at the design point)
     SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
     FROM daily
 ), t AS (
     SELECT n,

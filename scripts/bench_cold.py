@@ -70,14 +70,23 @@ def main() -> int:
             results[name] = {"error": out.stderr[-500:]}
         print(f"# {name}\t{results[name]}", file=sys.stderr, flush=True)
 
+    # errored children must not silently deflate the headline total
+    # (advisor r12): exclude them from the sum and surface the count.
+    n_errors = sum(1 for r in results.values() if "cold_sec" not in r)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # SPARK_GRAFT_SF_DIR doesn't end in sf<number>
     payload = {
         "metric": "cold_jvm_queries_total_sec",
         "value": round(
-            sum(r.get("cold_sec", 0.0) for r in results.values()), 3
+            sum(r["cold_sec"] for r in results.values() if "cold_sec" in r),
+            3,
         ),
         "unit": "sec",
         "queries": results,
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "n_errors": n_errors,
+        "sf": sf,
     }
     with open(os.path.join(REPO, "scripts", "bench_cold_out.json"), "w") as f:
         json.dump(payload, f, indent=1)
