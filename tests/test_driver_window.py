@@ -30,15 +30,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # comment in plans/catalog.py each round).
 CHANGED_FIRST_LEADS = {
     # r13: r12 late rewrites + this round's broadcast de-hints + the
-    # r13 eval-census materialize fix (er/check_er share _er_clusters)
+    # r13 eval-census materialize fixes (_er_clusters,
+    # _minhash_components, check_simhash_invariants) + the lineage
+    # materialize() cut path (CC/pagerank)
     "agg_correlation",
     "nb_source_classifier",
     "bloom_prefilter_join",
     "split_assign",
     "split_no_leakage",
     "check_er_mass",
-    "fuzzy_name_pairs",
     "check_minhash_containment",
+    "check_cluster_consistency",
+    "check_simhash_invariants",
+    "dup_graph_degree",
+    "pagerank_event_graph",
 }
 
 
