@@ -5353,8 +5353,11 @@ assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
 #       r10);
 #   (b) the entries changed by THIS round's work: the broadcast de-hint
 #       sweep (verdict ask #1: bloom_prefilter_join's customer key-panel
-#       hint, split_assign + split_no_leakage's shared component-map
-#       hint) and the r13 eval-census materialize fixes + lineage
+#       hint; split_no_leakage's component-map hint in
+#       _split_assignments — split_assign itself is the map-only
+#       content-addressed split, unchanged, kept here because the
+#       verdict asked for its fresh row) and the r13 eval-census
+#       materialize fixes + lineage
 #       refactor (check_er_mass via _er_clusters' pair materialization;
 #       check_minhash_containment, check_cluster_consistency,
 #       dup_graph_degree via _minhash_components' pair materialization;

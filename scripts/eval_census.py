@@ -58,7 +58,11 @@ spark = get_spark(
     },
 )
 spark.sparkContext.setLogLevel("ERROR")
-CATALOG[%(name)r].spark_fn(spark, %(sf_dir)r).count()
+# collect(), not count(): under count() Catalyst can eliminate whole
+# subtrees (e.g. a left join whose right side is provably unique and
+# unreferenced — split_assign's component map), censusing a plan the
+# driver never runs. collect() evaluates every output column.
+CATALOG[%(name)r].spark_fn(spark, %(sf_dir)r).collect()
 spark.stop()
 """
 

@@ -80,12 +80,14 @@ def test_result_identical_after_executor_loss(spark):
 
 
 def test_cc_consumer_recovers_with_reliable_checkpoint(spark, tmp_path):
-    """split_assign = MinHash LSH → connected components → split join:
-    its lineage cuts go through operators/lineage.materialize, so with a
-    checkpoint dir the cut blocks are re-readable from storage and a
-    mid-query executor SIGKILL must recover to the identical result
-    (the 100 TB recovery story for the iterative operators)."""
-    entry = "split_assign"
+    """split_no_leakage = MinHash LSH → connected components → rep join
+    (NOT split_assign, which is the map-only content-addressed split
+    with no lineage cuts — probing it would be vacuously green): its
+    cuts go through operators/lineage.materialize, so with a checkpoint
+    dir the cut blocks are re-readable from storage and a mid-query
+    executor SIGKILL must recover to the identical result (the 100 TB
+    recovery story for the iterative operators)."""
+    entry = "split_no_leakage"
     local = _local_fingerprint(spark, entry)
     got = _run_probe(
         entry, 4, env={"PROBE_CHECKPOINT_DIR": str(tmp_path / "ckpt")}
