@@ -82,6 +82,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -130,6 +131,13 @@ def main() -> None:
             "dedup_minhash_lsh_unmemoized_warm_sec": round(
                 first_rep["dedup_minhash_lsh"], 3
             ),
+            # host-load context for round-over-round drift attribution:
+            # the r8-r12 inflation episodes were all host, not code
+            # (BENCH_NOTES drift protocol) — recording the 1/5/15-min
+            # loadavg around the run lets the canary A/B start from the
+            # ledger instead of a fresh probe.
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         },
         "sf": float(sf),
     }
