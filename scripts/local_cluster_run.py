@@ -79,6 +79,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addPyFile(_package_zip())
+    # PROBE_CHECKPOINT_DIR (same contract as executor_loss_probe.py):
+    # switches the iterative operators' lineage cuts onto the RELIABLE
+    # checkpoint path (operators/lineage.py) so parity runs can cover
+    # that code path too.
+    ckpt = os.environ.get("PROBE_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
     sleep_between = float(os.environ.get("SPARK_GRAFT_SLEEP_BETWEEN", "0"))
     try:
         for name in names:
