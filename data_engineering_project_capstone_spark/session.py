@@ -102,6 +102,11 @@ def get_spark(
         # executions via accumulators, and a speculative duplicate task
         # re-adds its partition's count.
         .config("spark.speculation", "false")
+        # reliable checkpoints (operators/lineage.py, active when a
+        # checkpoint dir is configured) otherwise accumulate files for
+        # the life of the session — iterative entries cut per loop, so
+        # a long-lived session leaks the dir without this.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     extra_conf = dict(extra_conf or {})
     # Like every JVM option here, this only takes effect when this call

@@ -34,6 +34,9 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# the full censused family (r13 batches 1-3: iterative/memoized entries
+# plus every localCheckpoint-bearing entry; expected multiplicities in
+# BENCH_NOTES.md "Round 13" sections)
 DEFAULT_ENTRIES = [
     "pagerank_event_graph",
     "dbscan_customers",
@@ -41,6 +44,34 @@ DEFAULT_ENTRIES = [
     "kmeans_embeddings",
     "dedup_minhash_lsh",
     "dedup_resolve_clusters",
+    "graph_triangles",
+    "simjoin_prefix",
+    "recursive_reachability",
+    "graph_core_peel",
+    "bpe_merge_pairs",
+    "dedup_simhash",
+    "check_simhash_invariants",
+    "semdedup_prune",
+    "dedup_jaccard_pairs",
+    "knn_graph_radius",
+    "join_asof_tolerance",
+    "ewma_control",
+    "bloom_prefilter_join",
+    "q16_supplier_part_counts",
+    "q20_volume_share_suppliers",
+    "q17_small_qty_revenue",
+    "q21_sole_late_supplier",
+    "two_phase_quantiles",
+    "weighted_median",
+    "events_burst_hours",
+    "forecast_mase",
+    "hierarchy_share",
+    "geo_grid_join",
+    "conformal_interval",
+    "cohens_kappa",
+    "orders_acf",
+    "langid_confusion",
+    "split_no_leakage",
 ]
 
 _CHILD = r"""
