@@ -39,6 +39,24 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     Reliable ``checkpoint`` when the session has a checkpoint dir set,
     ``localCheckpoint`` otherwise. Same contract either way: the
     returned frame's plan is a leaf; upstream is never re-executed.
+
+    Reliable-path cost note (advisor r13 asked whether the classic
+    "eager checkpoint runs two jobs — count, then a checkpoint-write
+    that RECOMPUTES the plan unless persisted" 2x applies here, and
+    recommended persist-before-checkpoint). MEASURED on this runtime
+    (Spark 4.1.2): it does not. An eager reliable checkpoint runs in
+    ONE job and evaluates the upstream exactly once — verified three
+    ways (a per-row side-effect evaluation counter, the StatusTracker
+    job count, and wall time on a sleep-UDF upstream; see
+    tests/test_lineage_reliable_single_eval.py). The classic
+    persist → checkpoint → unpersist dance is therefore a pure
+    pessimization on this runtime — it ADDS an InMemoryRelation
+    columnar materialization (measured 3.6s vs 2.3s on the probe
+    upstream), so this function deliberately does NOT persist. The
+    subprocess test pins the one-evaluation contract loudly: if a
+    future Spark or config change ever reintroduces the write-job
+    recompute, that test goes red and the persist guard is the known
+    remedy.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():

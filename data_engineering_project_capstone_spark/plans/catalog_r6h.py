@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import ieee_round
 from ..operators.dedup import shingles_from_tokens
+from ..operators.lineage import materialize
 from ..operators.text import tokens
 from .catalog import Entry, sql_ieee_round, t
 
@@ -506,7 +507,10 @@ def graph_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("la.pk").alias("pa"), F.col("lb.pk").alias("pb"))
         .distinct()
     )
-    e0 = e0.localCheckpoint()  # 3 consumers per round; cut the pair join
+    # 3 consumers per round; cut the pair join. Peel-loop cuts route
+    # through lineage.materialize (r14): reliable checkpoint when a
+    # checkpoint dir is set, localCheckpoint fallback otherwise.
+    e0 = materialize(e0)
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -523,10 +527,9 @@ def graph_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= F.col("k"))
             .select("v")
         )
-        return (
+        return materialize(
             e.join(surv.select(F.col("v").alias("pa")), "pa", "left_semi")
             .join(surv.select(F.col("v").alias("pb")), "pb", "left_semi")
-            .localCheckpoint()
         )
 
     deg0 = degrees(e0)

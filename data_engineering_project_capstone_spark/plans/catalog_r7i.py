@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.lineage import materialize
 from .catalog import Entry, t
 from .catalog_r7h import _GRID, _RADIUS, _coords
 
@@ -103,9 +104,16 @@ def _directed_pairs(pts: DataFrame) -> DataFrame:
 def _core_and_edges(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """(pts, pairs, core, edges) — the shared DBSCAN front half."""
-    pts = _points(spark, sf_dir).localCheckpoint()
-    pairs = _directed_pairs(pts).localCheckpoint()  # degree + edges + border
+    """(pts, pairs, core, edges) — the shared DBSCAN front half.
+
+    Loop-invariant inputs are cut through ``lineage.materialize``
+    (r14, the r13 queued follow-up): reliable checkpoint when the
+    session has a checkpoint dir (the 100 TB recovery story — an
+    executor loss mid-CC-loop re-reads the cut from storage instead of
+    fail-stopping), localCheckpoint fallback otherwise (bit-identical
+    to the pre-r14 behavior on test/bench sessions)."""
+    pts = materialize(_points(spark, sf_dir))
+    pairs = materialize(_directed_pairs(pts))  # degree + edges + border
     deg = pairs.groupBy("ka").agg((F.count("*") + 1).alias("deg"))
     core = (
         pts.join(deg, pts.k == deg.ka, "left_outer")
@@ -113,11 +121,11 @@ def _core_and_edges(
         .filter(F.col("deg") >= _MIN_PTS)
         .select("k")
     )
-    core = core.localCheckpoint()
+    core = materialize(core)
     core_a = core.select(F.col("k").alias("ka"))
     core_b = core.select(F.col("k").alias("kb"))
     edges = pairs.join(core_a, "ka").join(core_b, "kb").select("ka", "kb")
-    edges = edges.localCheckpoint()  # consumed every CC round
+    edges = materialize(edges)  # consumed every CC round
     return pts, pairs, core, edges
 
 
@@ -166,12 +174,15 @@ def _min_labels(core: DataFrame, edges: DataFrame) -> DataFrame:
     which persists each marked RDD on first compute and truncates
     lineage for any recompute (9.7s). Cadence stays 2 — stretching to
     every 4 rounds blew planning up 2.5x (28-30s) as the uncut
-    4-round/8-join plan segments compound."""
+    4-round/8-join plan segments compound. In-loop cuts route through
+    ``lineage.materialize`` (r14): still lazy on the local path; with a
+    checkpoint dir they become lazy reliable checkpoints of the small
+    label table (see lineage.py for the eager-vs-lazy persist note)."""
     lab = core.select("k", F.col("k").alias("lab"))
     for i in range(_CC_ROUNDS):
         lab = _jump_round(_propagate_round(edges, lab))
         if i % 2 == 1:
-            lab = lab.localCheckpoint(eager=False)
+            lab = materialize(lab, eager=False)
     return lab
 
 
@@ -302,13 +313,13 @@ def knn_graph_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     fills within eps (histogram rows: neighbors_found, n_points) plus
     the exact sum of 1-NN squared distances folded into every row (the
     determinism handle). Ties rank by (d2, kb) — a total order."""
-    pts = _points(spark, sf_dir).localCheckpoint()
+    pts = materialize(_points(spark, sf_dir))
     pairs = _directed_pairs(pts)
     w = Window.partitionBy("ka").orderBy("d2", "kb")
     top = pairs.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= _KNN_K
     )
-    top = top.localCheckpoint()  # histogram + 1-NN sum consumers
+    top = materialize(top)  # histogram + 1-NN sum consumers
     found = top.groupBy("ka").agg(F.count("*").alias("nf"))
     hist = (
         pts.join(found, pts.k == found.ka, "left_outer")
@@ -382,7 +393,7 @@ def check_dbscan_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential test keeps guarding the small scale; this guards the
     driver's."""
     _pts, _pairs, core, edges = _core_and_edges(spark, sf_dir)
-    lab = _min_labels(core, edges).localCheckpoint()  # consumed twice
+    lab = materialize(_min_labels(core, edges))  # consumed twice
     extra = _propagate_round(edges, lab.select("k", "lab"))
     changed = lab.select(
         F.col("k").alias("k0"), F.col("lab").alias("lab0")

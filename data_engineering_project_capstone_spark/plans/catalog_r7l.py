@@ -128,7 +128,12 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = pairs.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= _KNN_K
     )
-    kept = kept.localCheckpoint()  # edges + seed consumers
+    # edges + seed consumers; the recursion re-reads the edge view every
+    # BFS round, so this cut routes through lineage.materialize (r14):
+    # reliable checkpoint when a dir is set, localCheckpoint fallback.
+    from ..operators.lineage import materialize
+
+    kept = materialize(kept)
     kept.select("ka", "kb").createOrReplaceTempView("knn_edges_r7l")
     # seed = the left node of the globally tightest pair (deterministic
     # total order; lands in the densest region so the BFS actually has
