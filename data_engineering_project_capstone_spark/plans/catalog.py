@@ -5428,11 +5428,91 @@ _DRIVER_WINDOW_R13 = [
     "graph_core_peel",
 ]
 assert len(_DRIVER_WINDOW_R13) == 50, len(_DRIVER_WINDOW_R13)
+
+# Round-14 driver window — changed-first, then staleness (r13 verdict
+# ask #2):
+#   (a) the entries whose CODE PATH changed this round: the
+#       lineage.materialize adoption for the catalog-local iterative
+#       loops (r13's queued follow-up) — the DBSCAN grid-CC family in
+#       catalog_r7i (dbscan_customers, check_dbscan_fixpoint,
+#       knn_graph_radius — shared _points/_directed_pairs cuts), the
+#       graph_core_peel fixpoint in catalog_r6h, and
+#       recursive_reachability's edge cut in catalog_r7l. All are
+#       behavior-identical without a checkpoint dir (materialize falls
+#       back to the same localCheckpoint) — fresh rows close the loop
+#       the same way r13's de-hints did. dup_graph_degree (named in the
+#       ask) is NOT re-listed: it consumes _minhash_components, whose
+#       code did not change this round, and it holds a fresh green r13
+#       row.
+#   (b) the full r8-row staleness tail (22 entries; knn_graph_radius
+#       and recursive_reachability are already in (a), so 20 here,
+#       alphabetical);
+#   (c) r9-row entries, alphabetical fill to 50 (25 of the 36 — the
+#       11 left out are the freshest-named alphabetical tail and lead
+#       the r15 rotation).
+# The 8 rows-only entries stay excluded (once-only no_oracle records +
+# green hashable check_* twins), keeping the window a clean 50/50.
+_DRIVER_WINDOW_R14 = [
+    # (a) r14 lineage.materialize adoption (catalog-local loops)
+    "dbscan_customers",
+    "check_dbscan_fixpoint",
+    "knn_graph_radius",
+    "recursive_reachability",
+    "graph_core_peel",
+    # (b) r8-row staleness tail, alphabetical
+    "info_gain_terms",
+    "join_attribution_window",
+    "linreg_by_group",
+    "ndcg_label_eval",
+    "pit_features",
+    "q13_order_histogram",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q3_unshipped_topk",
+    "q4_late_exists",
+    "q6_forecast_delta",
+    "q7_nation_volume",
+    "q9_profit_proxy",
+    "revenue_pareto",
+    "ri_audit",
+    "rrf_fusion",
+    "sample_universe",
+    "sample_weighted",
+    "table_fingerprints",
+    "user_activity_features",
+    # (c) r9-row staleness, alphabetical fill
+    "agg_modes",
+    "agg_string_concat",
+    "bootstrap_ci_mean",
+    "calibration_curve",
+    "cohens_kappa",
+    "conversion_wilson_ci",
+    "customer_active_streaks",
+    "cusum_drift",
+    "dedup_first_wins",
+    "events_burst_hours",
+    "events_transition_matrix",
+    "ewma_control",
+    "forecast_mase",
+    "geo_grid_join",
+    "hierarchy_share",
+    "ks_two_sample",
+    "mann_whitney_u",
+    "orders_acf",
+    "orders_gini",
+    "pareto_skyline",
+    "price_histogram",
+    "q11_important_share",
+    "q12_priority_lateness",
+    "q16_supplier_part_counts",
+    "q20_volume_share_suppliers",
+]
+assert len(_DRIVER_WINDOW_R14) == 50, len(_DRIVER_WINDOW_R14)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R13,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R13)),
+        *_DRIVER_WINDOW_R14,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R14)),
     )
 }
 

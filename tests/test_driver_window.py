@@ -27,23 +27,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Entries allowed to lead the window ahead of strict staleness order:
 # changed since their last driver row (kept in sync with the window
-# comment in plans/catalog.py each round).
+# comment in plans/catalog.py each round, and machine-checked below to
+# be a subset of the actual window — a lead dropped from the window
+# fails loudly instead of silently losing its fresh-row slot).
 CHANGED_FIRST_LEADS = {
-    # r13: r12 late rewrites + this round's broadcast de-hints + the
-    # r13 eval-census materialize fixes (_er_clusters,
-    # _minhash_components, check_simhash_invariants) + the lineage
-    # materialize() cut path (CC/pagerank)
-    "agg_correlation",
-    "nb_source_classifier",
-    "bloom_prefilter_join",
-    "split_assign",
-    "split_no_leakage",
-    "check_er_mass",
-    "check_minhash_containment",
-    "check_cluster_consistency",
-    "check_simhash_invariants",
-    "dup_graph_degree",
-    "pagerank_event_graph",
+    # r14: the lineage.materialize adoption for the catalog-local
+    # iterative loops (DBSCAN grid-CC family in catalog_r7i, the
+    # graph_core_peel fixpoint in catalog_r6h, recursive_reachability's
+    # edge cut in catalog_r7l)
+    "dbscan_customers",
+    "check_dbscan_fixpoint",
+    "knn_graph_radius",
+    "recursive_reachability",
+    "graph_core_peel",
 }
 
 
@@ -52,8 +48,14 @@ def _latest_green() -> dict[str, int]:
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for name, row in json.load(open(f)).items():
+            # an explicit hash_match=False is a RED row even when the
+            # row counts matched (advisor r13): a failed hash-parity
+            # row must not refresh an entry's staleness and keep it
+            # out of the window this tripwire forces it into.
             ok = row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None
+                row.get("hash_match") is None
+                and row.get("rows_match")
+                and row.get("err") is None
             )
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -70,6 +72,10 @@ def test_window_contains_all_stalest_oracle_entries():
     assert all(n in oracle for n in window), (
         "window slots must all be oracle-paired (rows-only entries get "
         "once-only records + check_* twins)"
+    )
+    assert CHANGED_FIRST_LEADS <= set(window), (
+        f"changed-first leads missing from the driver window: "
+        f"{sorted(CHANGED_FIRST_LEADS - set(window))}"
     )
 
     latest = _latest_green()
