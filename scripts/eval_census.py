@@ -123,11 +123,23 @@ def census(name: str, sf_dir: str) -> dict:
                 ev = json.loads(line)
                 n_exec += 1
                 desc = ev.get("physicalPlanDescription", "")
-                # one "Location: ...<table>.parquet" per scan node
-                for m in re.finditer(
-                    r"Location:[^\n]*?/([a-z_]+)\.parquet", desc
-                ):
-                    scans[m.group(1)] = scans.get(m.group(1), 0) + 1
+                # one "Location: ...<table>.parquet" per scan node.
+                # The capture group accepts digits/uppercase (advisor
+                # r13: a future table like events2.parquet must not
+                # silently read as "no scans"), and any Location line
+                # the name pattern still misses is surfaced as an
+                # _unmatched_locations counter instead of dropped.
+                n_loc = len(re.findall(r"Location:", desc))
+                matched = re.findall(
+                    r"Location:[^\n]*?/([A-Za-z0-9_\-]+)\.parquet", desc
+                )
+                for tbl in matched:
+                    scans[tbl] = scans.get(tbl, 0) + 1
+                if n_loc > len(matched):
+                    scans["_unmatched_locations"] = (
+                        scans.get("_unmatched_locations", 0)
+                        + n_loc - len(matched)
+                    )
         return {"entry": name, "n_executions": n_exec,
                 "scans": dict(sorted(scans.items()))}
 
