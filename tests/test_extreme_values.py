@@ -17,16 +17,35 @@ HUGEINT) to agree EXACTLY:
   table probes the ± sign envelope and keeps sums from telescoping.
 - ``maxcents``: prices ±2^56 (cents = 2^56·100 ≈ 7.2e18, the int64
   EDGE — within 22% of 2^63−1, still an exact double: 25·2^58). Only
-  the PURE operand-cast family runs here (moment folds that cast to
-  DECIMAL(38,0) BEFORE any multiply or sum, so no int64 step touches
-  the cents): mann_whitney_u, spearman_corr, orders_acf. Excluded by
-  documented contract: the unit-fold entries (their per-row multiply
-  runs in LONG — cents·100 exceeds 2^63 here), orders_gini and
-  cusum_drift (both keep a deliberate int64 Σcents FIRST moment whose
-  premise is cents-scale money — probed live: ANSI Spark raises
-  ARITHMETIC_OVERFLOW at this magnitude, a loud abort, never a wrong
-  value, while DuckDB's HUGEINT sum proceeds), and the kept-int64
-  family q6/q15/q10/q3 (same cents-scale premise, both corpora).
+  the PURE operand-cast family runs the VALUE-parity assertion here
+  (moment folds that cast to DECIMAL(38,0) BEFORE any multiply or
+  sum, so no int64 step touches the cents): mann_whitney_u,
+  spearman_corr, orders_acf. The twelve exclusions were re-audited
+  live in r14 (per the r13 verdict ask — the r12/r13 fold-discipline
+  hardening changed READOUT folds to exact integers, not the per-row
+  unit multiplies, so the LONG-stage contract below is unchanged) and
+  split into two machine-pinned classes:
+  * LOUD-ABORT (promoted from skip to assertion,
+    test_out_of_contract_folds_abort_loudly_at_edge_cents):
+    q1_pricing_summary, q5_local_volume, revenue_pareto,
+    abc_classification (per-row unit multiply runs in LONG — cents·100
+    exceeds 2^63 here) and orders_gini, cusum_drift (deliberate int64
+    Σcents FIRST moment whose premise is cents-scale money). ANSI
+    Spark raises ARITHMETIC_OVERFLOW — a loud abort, never a wrong
+    value — while DuckDB's HUGEINT path proceeds, so value parity is
+    structurally impossible and fail-loud IS the contract.
+  * VACUOUSLY EMPTY (exclusion re-affirmed, still skipped):
+    q7_nation_volume, q8_market_share, q9_profit_proxy,
+    q11_important_share, q14_promo_revenue, q19_disjunctive_join —
+    probed r14: on this 6-row corpus their join/filter topology
+    (nation pairs, promo parts, date windows) matches zero lineitem
+    rows, so the overflowing fold never executes and both engines
+    return empty/NULL rows. A value assertion would pass vacuously
+    while mislabeling them as inside the maxcents contract; their
+    unit folds share q1/q5's LONG stage and would abort identically
+    if reached.
+  The kept-int64 family q6/q15/q10/q3 (cents-scale premise) stays out
+  of both corpora as before.
 
 Readout ratios divide exact integers through double casts; operands
 here exceed 2^53, so the casts round — but both engines perform the
@@ -185,15 +204,38 @@ def test_hugedouble_boundary_is_structural(spark):
         duckdb.sql("SELECT CAST(round(1e308 * 100, 0) AS BIGINT)").fetchall()
 
 
-def test_int64_first_moment_aborts_loudly_at_edge_cents(spark, tmp_path):
-    """The flip side of the maxcents exclusions: orders_gini's int64
-    Σcents first moment must ABORT (ANSI ARITHMETIC_OVERFLOW) at
-    int64-edge cents, not produce a wrapped value. Loud-failure is the
-    documented contract for magnitudes outside the cents-scale premise."""
-    from pyspark.errors.exceptions.captured import ArithmeticException
+# the maxcents exclusions whose int64 stage IS reached on this corpus
+# (per-row unit multiplies for the first four; int64 Σcents first
+# moments for the last two) — promoted r14 from skips to loud-abort
+# assertions (r13 verdict ask #4)
+ABORT_AT_MAXCENTS = [
+    "q1_pricing_summary",
+    "q5_local_volume",
+    "revenue_pareto",
+    "abc_classification",
+    "orders_gini",
+    "cusum_drift",
+]
 
-    d = tmp_path / "edge"
-    d.mkdir()
+
+@pytest.fixture(scope="module")
+def maxcents_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("money_edge")
     _build("maxcents", str(d))
-    with pytest.raises(ArithmeticException):
-        CATALOG["orders_gini"].spark_fn(spark, str(d)).collect()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ABORT_AT_MAXCENTS)
+def test_out_of_contract_folds_abort_loudly_at_edge_cents(
+    spark, maxcents_dir, name
+):
+    """The flip side of the maxcents exclusions: every excluded entry
+    whose int64 stage is actually reached on this corpus must ABORT
+    (ANSI ARITHMETIC_OVERFLOW) at int64-edge cents, not produce a
+    wrapped value. Loud-failure is the documented contract for
+    magnitudes outside the cents-scale premise. Matched on the error
+    class string, not the Python exception type: AQE can surface the
+    task failure either as ArithmeticException directly or wrapped in
+    STAGE_MATERIALIZATION_MULTIPLE_FAILURES (both observed live)."""
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        CATALOG[name].spark_fn(spark, maxcents_dir).collect()
