@@ -8,42 +8,50 @@ corpora push the money columns to the documented envelope edges and
 require the two engines' 128-bit paths (Spark DECIMAL(38,0) vs DuckDB
 HUGEINT) to agree EXACTLY:
 
+The corpora are the FULL sf0.001 tables with every money column
+rewritten to a cyclic 6-value magnitude pattern (r14 — the original
+6-row-slice corpora left most of the unit-fold inventory VACUOUS:
+probed live, q5/q7/q8/q9/q11/orders_acf returned zero rows and
+q14/mann_whitney_u all-NULL rows at bigmoney because six rows of each
+table share almost no join keys and miss every date window; a value
+assertion that compares empty sets pins nothing). With the real join
+topology every entry except q11 (empty at sf0.001 on REAL money too —
+238 rows at sf0.01; a base-corpus scale artifact, not a money issue)
+now folds thousands of extreme-magnitude rows.
+
 - ``bigmoney``: prices ±2^43 (cents = 2^43·100 ≈ 8.8e14, exact in
   double: 25·2^45). Per-row charge units cents·(100−disc)·(100+tax)
   with disc=tax=0 are ≈ 8.8e18 — inside int64 (the per-row contract:
   Spark's unit multiply runs in LONG before the decimal cast) — while
-  the 6-row GROUP SUM ≈ 5.3e19 exceeds int64 by 6×: exactly the sums
-  the DECIMAL(38,0) fold was adopted for. One negative-price row per
-  table probes the ± sign envelope and keeps sums from telescoping.
+  GROUP SUMS over the full corpus reach ~10^19-10^22, exceeding int64
+  by up to four orders: exactly the sums the DECIMAL(38,0) fold was
+  adopted for. Every 4th pattern value is negative, probing the ±
+  sign envelope and keeping sums from telescoping.
 - ``maxcents``: prices ±2^56 (cents = 2^56·100 ≈ 7.2e18, the int64
   EDGE — within 22% of 2^63−1, still an exact double: 25·2^58). Only
-  the PURE operand-cast family runs the VALUE-parity assertion here
-  (moment folds that cast to DECIMAL(38,0) BEFORE any multiply or
-  sum, so no int64 step touches the cents): mann_whitney_u,
-  spearman_corr, orders_acf. The twelve exclusions were re-audited
-  live in r14 (per the r13 verdict ask — the r12/r13 fold-discipline
-  hardening changed READOUT folds to exact integers, not the per-row
-  unit multiplies, so the LONG-stage contract below is unchanged) and
+  orders_acf runs the VALUE-parity assertion here: it is the one
+  entry of the inventory whose EVERY cents-touching step is an
+  operand-cast decimal fold. The other 14 were re-audited live in r14
+  (per the r13 verdict ask — the r12/r13 fold-discipline hardening
+  changed READOUT folds to exact integers, not the per-row unit
+  multiplies, so the LONG-stage contract below is unchanged) and
   split into two machine-pinned classes:
   * LOUD-ABORT (promoted from skip to assertion,
-    test_out_of_contract_folds_abort_loudly_at_edge_cents):
-    q1_pricing_summary, q5_local_volume, revenue_pareto,
-    abc_classification (per-row unit multiply runs in LONG — cents·100
-    exceeds 2^63 here) and orders_gini, cusum_drift (deliberate int64
-    Σcents FIRST moment whose premise is cents-scale money). ANSI
-    Spark raises ARITHMETIC_OVERFLOW — a loud abort, never a wrong
-    value — while DuckDB's HUGEINT path proceeds, so value parity is
-    structurally impossible and fail-loud IS the contract.
+    test_out_of_contract_folds_abort_loudly_at_edge_cents, 13
+    entries): the unit-fold family (per-row cents·100 multiply runs
+    in LONG — exceeds 2^63 here), orders_gini/cusum_drift (deliberate
+    int64 Σcents FIRST moment whose premise is cents-scale money),
+    and mann_whitney_u/spearman_corr — previously mislabeled pure
+    operand-cast: their shared _spend_by_group input SUMS a
+    customer's order cents in int64 (same cents-scale premise), which
+    the old single-order-per-customer 6-row corpus could never trip.
+    ANSI Spark raises ARITHMETIC_OVERFLOW — a loud abort, never a
+    wrong value — while DuckDB's HUGEINT path proceeds, so value
+    parity is structurally impossible and fail-loud IS the contract.
   * VACUOUSLY EMPTY (exclusion re-affirmed, still skipped):
-    q7_nation_volume, q8_market_share, q9_profit_proxy,
-    q11_important_share, q14_promo_revenue, q19_disjunctive_join —
-    probed r14: on this 6-row corpus their join/filter topology
-    (nation pairs, promo parts, date windows) matches zero lineitem
-    rows, so the overflowing fold never executes and both engines
-    return empty/NULL rows. A value assertion would pass vacuously
-    while mislabeling them as inside the maxcents contract; their
-    unit folds share q1/q5's LONG stage and would abort identically
-    if reached.
+    q11_important_share only — empty at sf0.001 scale regardless of
+    money magnitude (see above), so neither a value nor an abort
+    assertion can bind.
   The kept-int64 family q6/q15/q10/q3 (cents-scale premise) stays out
   of both corpora as before.
 
@@ -91,8 +99,6 @@ _MONEY = {
 # cents·(100−disc)·(100+tax) past 2^63)
 _ZERO = {"lineitem": ["l_discount", "l_tax"]}
 
-_N_ROWS = 6
-
 # the full DECIMAL(38,0) unit-fold inventory (SCALE.md) — must agree
 # exactly at bigmoney magnitudes
 BIGMONEY_ENTRIES = [
@@ -116,34 +122,34 @@ BIGMONEY_ENTRIES = [
 
 # pure operand-cast family: every product AND sum over cents runs in
 # decimal, so int64-edge cents are inside the documented envelope
-# (orders_gini/cusum_drift keep an int64 Σcents first moment — out;
-# see module doc)
+# (mann_whitney_u/spearman_corr moved to the abort family in r14 —
+# their _spend_by_group per-customer Σcents is int64; see module doc)
 MAXCENTS_ENTRIES = [
-    "mann_whitney_u",
-    "spearman_corr",
     "orders_acf",
 ]
 
 
 def _build(kind: str, out_dir: str) -> None:
-    """Six real rows per table with money columns rewritten to the
-    corpus magnitude; row 3 goes negative (sign envelope + no
-    telescoping to zero)."""
+    """The FULL sf0.001 tables with money columns rewritten to a cyclic
+    magnitude pattern (mag, mag, mag/2, −mag, mag/4, mag — all exact
+    doubles; the negative probes the sign envelope and keeps sums from
+    telescoping, the halves keep groups from being all-tied). Full
+    tables, not a slice: real join/filter topology is what makes the
+    folds actually execute (see module doc)."""
     mag = {"bigmoney": float(2**43), "maxcents": float(2**56)}[kind]
+    pattern = [mag, mag, mag / 2, -mag, mag / 4, mag]
     for t in TABLES:
         real = pq.read_table(f"{REAL_SF}/{t}.parquet")
-        n = min(_N_ROWS, real.num_rows)
-        shaped = real.slice(0, n)
-        cols = {f.name: shaped.column(f.name) for f in shaped.schema}
+        n = real.num_rows
+        cols = {f.name: real.column(f.name) for f in real.schema}
         for c in _MONEY.get(t, []):
-            # vary by ±1 ulp-of-2^k steps so groups aren't all-tied:
-            # mag, mag, mag/2, -mag, mag/4, mag
-            vals = [mag, mag, mag / 2, -mag, mag / 4, mag][:n]
-            cols[c] = pa.array(vals, type=pa.float64())
+            cols[c] = pa.array(
+                [pattern[i % 6] for i in range(n)], type=pa.float64()
+            )
         for c in _ZERO.get(t, []):
             cols[c] = pa.array([0.0] * n, type=pa.float64())
         pq.write_table(
-            pa.table([cols[f.name] for f in shaped.schema], schema=shaped.schema),
+            pa.table([cols[f.name] for f in real.schema], schema=real.schema),
             f"{out_dir}/{t}.parquet",
         )
 
@@ -159,6 +165,12 @@ def _names_for(kind: str) -> list[str]:
     return BIGMONEY_ENTRIES if kind == "bigmoney" else MAXCENTS_ENTRIES
 
 
+# empty at sf0.001 base scale regardless of money magnitude (see
+# module doc) — the one entry whose extreme-corpus assertions are
+# allowed to bind on zero rows
+_VACUOUS_AT_BASE_SCALE = {"q11_important_share"}
+
+
 @pytest.mark.parametrize("name", sorted(set(BIGMONEY_ENTRIES)))
 def test_decimal_fold_exact_at_extreme_magnitude(spark, money_dir, name):
     kind, d = money_dir
@@ -168,6 +180,13 @@ def test_decimal_fold_exact_at_extreme_magnitude(spark, money_dir, name):
     sdf = entry.spark_fn(spark, d)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    if name not in _VACUOUS_AT_BASE_SCALE:
+        # guard against the pre-r14 failure mode: a corpus whose join
+        # topology never reaches the fold makes this parity assertion
+        # vacuous (empty == empty proves nothing)
+        assert spark_rows and any(
+            v is not None for r in spark_rows for v in r
+        ), f"{name}: vacuous {kind} corpus — the fold never executed"
     ddb_cols, ddb_rows = run_oracle(d, entry.sql)
     assert len(spark_rows) == len(ddb_rows), (
         f"{name}: row count differs on {kind} corpus "
@@ -204,17 +223,26 @@ def test_hugedouble_boundary_is_structural(spark):
         duckdb.sql("SELECT CAST(round(1e308 * 100, 0) AS BIGINT)").fetchall()
 
 
-# the maxcents exclusions whose int64 stage IS reached on this corpus
-# (per-row unit multiplies for the first four; int64 Σcents first
-# moments for the last two) — promoted r14 from skips to loud-abort
-# assertions (r13 verdict ask #4)
+# the maxcents exclusions whose int64 stage IS reached on the full
+# corpus (per-row unit multiplies; int64 Σcents first moments for
+# orders_gini/cusum_drift; the int64 per-customer spend sum for
+# mann_whitney_u/spearman_corr) — promoted r14 from skips to
+# loud-abort assertions (r13 verdict ask #4). Only q11_important_share
+# stays a bare skip (vacuously empty at this base scale).
 ABORT_AT_MAXCENTS = [
     "q1_pricing_summary",
     "q5_local_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_proxy",
+    "q14_promo_revenue",
+    "q19_disjunctive_join",
     "revenue_pareto",
     "abc_classification",
     "orders_gini",
     "cusum_drift",
+    "mann_whitney_u",
+    "spearman_corr",
 ]
 
 
