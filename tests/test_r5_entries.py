@@ -175,6 +175,26 @@ def test_source_dup_matrix_is_upper_triangle(spark):
         assert r["n_shared_fps"] > 0
 
 
+def test_source_dup_matrix_nonvacuous_parity_at_sf01(spark):
+    """source_dup_matrix is EMPTY at sf0.001/sf0.01 (the synthetic
+    corpus has no cross-source verbatim dups below sf0.1), so both the
+    driver's sf0.01 hash gate and the invariant test above are vacuous
+    for it — the r14 extreme-corpus audit's failure class. This test
+    pins the one scale where the entry has mass: non-empty result at
+    sf0.1 AND exact cross-engine parity there."""
+    from degen_util import run_oracle
+    from test_oracle_differential import _rowset
+
+    sf01 = "/root/testdata/sf0.1"
+    entry = CATALOG["source_dup_matrix"]
+    sdf = entry.spark_fn(spark, sf01)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert srows, "no cross-source dups at sf0.1 — corpus changed?"
+    dcols, drows = run_oracle(sf01, entry.sql)
+    assert len(srows) == len(drows)
+    assert _rowset(srows, sdf.columns) == _rowset(drows, dcols)
+
+
 def test_dup_graph_degree_mass_matches_pairs(spark):
     """Sum(degree × n_docs) must equal 2 × |pairs| (each pair contributes
     one degree to each endpoint)."""
