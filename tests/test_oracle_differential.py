@@ -101,6 +101,22 @@ def spark_results(spark, request):
         return dict(pool.map(run, sorted(selected)))
 
 
+# entries with NO mass at a given scale — the only places an empty
+# differential is legitimate. Everywhere else an empty result makes the
+# parity assertion vacuous (empty == empty pins nothing), the silent
+# failure class the r14 extreme-corpus audit surfaced: a topology or
+# filter bug that empties BOTH engines' results would read as green
+# here and in the driver's hash gate forever.
+_EMPTY_OK = {
+    # measured r14 (full-catalog row-count sweep at each SF): only
+    # source_dup_matrix (no cross-source verbatim dups below sf0.1 —
+    # pinned non-vacuous at sf0.1 by test_r5_entries) and, at 1/1000
+    # scale, q11_important_share (share threshold — 238 rows at sf0.01)
+    "/root/testdata/sf0.01": {"source_dup_matrix"},
+    "/root/testdata/sf0.001": {"source_dup_matrix", "q11_important_share"},
+}
+
+
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_catalog_matches_oracle(spark, ddb, spark_results, name):
     entry = CATALOG[name]
@@ -108,6 +124,13 @@ def test_catalog_matches_oracle(spark, ddb, spark_results, name):
     if isinstance(got, Exception):
         raise got
     spark_cols, spark_rows = got
+
+    if name not in _EMPTY_OK.get(SF_DIR, set()):
+        assert spark_rows, (
+            f"{name}: empty result at {SF_DIR} — the differential below "
+            f"is vacuous; whitelist it here only if the emptiness is a "
+            f"verified scale artifact"
+        )
 
     if entry.sql is None:
         assert len(spark_rows) >= 0  # rows-only check
