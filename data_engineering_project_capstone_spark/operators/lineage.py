@@ -26,6 +26,15 @@ Probe coverage: scripts/executor_loss_probe.py honors
 ``PROBE_CHECKPOINT_DIR`` so tests/test_executor_loss.py exercises a CC
 consumer end-to-end on a real 2-executor cluster with a mid-query
 SIGKILL on the reliable path.
+
+Adoption policy (r14, complete): every LOOP-CONSUMED cut (iterative
+operators' in-loop cadence cuts and their loop-invariant inputs) and
+every SESSION-MEMOIZED cut (reused across driver queries) routes
+through ``materialize``. One-shot multi-consumer cuts inside a single
+entry evaluation deliberately stay raw ``localCheckpoint``: a loss
+mid-entry fail-stops just that query, whose retry re-runs it from the
+source — reliable writes there would pay a storage round-trip per
+query run for no recovery a plain retry doesn't already provide.
 """
 
 from __future__ import annotations

@@ -1690,8 +1690,16 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         setattr(spark, _CC_MEMO_ATTR, per_session)
     key = ("simhash_sig", sf_dir)
     if key not in per_session:
+        from ..operators.lineage import materialize
+
         docs = t(spark, sf_dir, "documents")
-        per_session[key] = simhash_signatures(docs).localCheckpoint(eager=False)
+        # session-memoized cut: routed through lineage.materialize
+        # (r14) so a reliable-checkpoint deployment can recover the
+        # memoized signatures after executor loss instead of
+        # fail-stopping every later simhash consumer in the session
+        per_session[key] = materialize(
+            simhash_signatures(docs), eager=False
+        )
     return per_session[key]
 
 
@@ -5444,11 +5452,17 @@ assert len(_DRIVER_WINDOW_R13) == 50, len(_DRIVER_WINDOW_R13)
 #       ask) is NOT re-listed: it consumes _minhash_components, whose
 #       code did not change this round, and it holds a fresh green r13
 #       row.
+#   (a2) the two entries whose memo/loop-invariant cuts were swapped
+#       onto materialize LATE in r14 (the policy-closure sweep found
+#       them after the window was first built): pagerank_event_graph
+#       (catalog_r6e edge cut) and check_simhash_invariants
+#       (_simhash_sig memo cut) — slotted in so no entry's latest fix
+#       postdates its latest driver row;
 #   (b) the full r8-row staleness tail (22 entries; knn_graph_radius
 #       and recursive_reachability are already in (a), so 20 here,
 #       alphabetical);
-#   (c) r9-row entries, alphabetical fill to 50 (25 of the 36 — the
-#       11 left out are the freshest-named alphabetical tail and lead
+#   (c) r9-row entries, alphabetical fill to 50 (23 of the 36 — the
+#       13 left out are the freshest-named alphabetical tail and lead
 #       the r15 rotation).
 # The 8 rows-only entries stay excluded (once-only no_oracle records +
 # green hashable check_* twins), keeping the window a clean 50/50.
@@ -5459,6 +5473,9 @@ _DRIVER_WINDOW_R14 = [
     "knn_graph_radius",
     "recursive_reachability",
     "graph_core_peel",
+    # (a2) late r14 cut swaps (policy closure)
+    "pagerank_event_graph",
+    "check_simhash_invariants",
     # (b) r8-row staleness tail, alphabetical
     "info_gain_terms",
     "join_attribution_window",
@@ -5504,8 +5521,6 @@ _DRIVER_WINDOW_R14 = [
     "price_histogram",
     "q11_important_share",
     "q12_priority_lateness",
-    "q16_supplier_part_counts",
-    "q20_volume_share_suppliers",
 ]
 assert len(_DRIVER_WINDOW_R14) == 50, len(_DRIVER_WINDOW_R14)
 CATALOG = {

@@ -62,8 +62,13 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans in the final plan (one per round). The edge list is
     # distinct-(user,type)-sized — far smaller than the event fact — so
     # one materialization replaces per-round fact scans; 13% at sf0.1,
-    # four saved full-corpus passes at the design point.
-    edges = edges.localCheckpoint(eager=True)
+    # four saved full-corpus passes at the design point. Routed through
+    # lineage.materialize (r14): this is a loop-invariant input of an
+    # iterative operator, the class that gets reliable cuts when a
+    # checkpoint dir is configured.
+    from ..operators.lineage import materialize
+
+    edges = materialize(edges, eager=True)
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     return (
         ranks.filter(F.col("id").startswith("t:"))

@@ -34,12 +34,16 @@ CHANGED_FIRST_LEADS = {
     # r14: the lineage.materialize adoption for the catalog-local
     # iterative loops (DBSCAN grid-CC family in catalog_r7i, the
     # graph_core_peel fixpoint in catalog_r6h, recursive_reachability's
-    # edge cut in catalog_r7l)
+    # edge cut in catalog_r7l), plus the late policy-closure swaps
+    # (pagerank_event_graph's catalog_r6e edge cut and
+    # check_simhash_invariants' _simhash_sig memo cut)
     "dbscan_customers",
     "check_dbscan_fixpoint",
     "knn_graph_radius",
     "recursive_reachability",
     "graph_core_peel",
+    "pagerank_event_graph",
+    "check_simhash_invariants",
 }
 
 
