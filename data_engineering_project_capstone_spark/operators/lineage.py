@@ -66,8 +66,24 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     future Spark or config change ever reintroduces the write-job
     recompute, that test goes red and the persist guard is the known
     remedy.
+
+    Lazy cuts are LOCAL-PATH ONLY (advisor r14, measured): a lazy
+    RELIABLE checkpoint pays the classic doCheckpoint recompute — the
+    first action's job computes the plan, then the checkpoint write
+    re-executes it (2.0x upstream evaluations measured on this
+    runtime; see the lazy probes in
+    tests/test_lineage_reliable_single_eval.py) — and with Spark's
+    default ``checkpointAllMarkedAncestors=false`` a chain of lazy
+    marks (the in-loop cadence pattern) only writes the NEAREST marked
+    RDD, silently dropping the recovery coverage the reliable path
+    exists to provide. Every call site consumes its cut, so on the
+    reliable path eager strictly dominates: one evaluation, one write,
+    every cut on storage. ``eager=False`` therefore only defers the
+    LOCAL materialization into the first consumer's action (single-eval
+    either way there, and it saves a scheduler round-trip per cut —
+    the measured win in catalog_r7i's in-loop cadence).
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=eager)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=eager)

@@ -176,8 +176,11 @@ def _min_labels(core: DataFrame, edges: DataFrame) -> DataFrame:
     every 4 rounds blew planning up 2.5x (28-30s) as the uncut
     4-round/8-join plan segments compound. In-loop cuts route through
     ``lineage.materialize`` (r14): still lazy on the local path; with a
-    checkpoint dir they become lazy reliable checkpoints of the small
-    label table (see lineage.py for the eager-vs-lazy persist note)."""
+    checkpoint dir they become EAGER reliable checkpoints of the small
+    label table (r15 — a lazy reliable mark pays a 2x doCheckpoint
+    recompute and drops all but the nearest mark of a cadence chain;
+    see lineage.py and the lazy probes in
+    tests/test_lineage_reliable_single_eval.py)."""
     lab = core.select("k", F.col("k").alias("lab"))
     for i in range(_CC_ROUNDS):
         lab = _jump_round(_propagate_round(edges, lab))
