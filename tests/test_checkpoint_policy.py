@@ -1,0 +1,145 @@
+"""Lineage-cut policy tripwire (r14 verdict ask, made standing r15 —
+the exact shape of tests/test_broadcast_policy.py, for checkpoints).
+
+Policy (pkg/operators/lineage.py:30-38, swept once in r14): every
+LOOP-CONSUMED cut (iterative operators' in-loop cadence cuts and their
+loop-invariant inputs) and every SESSION-MEMOIZED cut (reused across
+driver queries) must route through ``lineage.materialize`` — reliable
+checkpoint when the session has a checkpoint dir (the 100 TB recovery
+story), localCheckpoint fallback otherwise. One-shot multi-consumer
+cuts INSIDE a single entry evaluation deliberately stay raw
+``localCheckpoint``: a loss mid-entry fail-stops just that query, whose
+retry re-runs it from source — a reliable write there would pay a
+storage round-trip per query run for no recovery a plain retry doesn't
+already provide.
+
+Nothing in r14's one-time sweep stops a future loop-consumed or
+session-memoized cut landing as a raw ``localCheckpoint`` unnoticed.
+This test pins the per-file NORMALIZED LINE SNIPPET of every
+``.localCheckpoint(`` / ``.checkpoint(`` call site in the package, each
+audited against the policy (the per-file comments note the class).
+Adding, moving, or rewording a cut fails it, forcing the author to
+classify the new site — one-shot intra-entry (raw is fine), or
+loop-consumed / session-memoized (must be ``materialize``) — and
+consciously update the pin. (Snippets are the full source line,
+whitespace-normalized; comment lines excluded; per-file lists sorted,
+duplicates meaningful.)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data_engineering_project_capstone_spark",
+)
+
+# every raw checkpoint call site, audited r14 sweep + r15 pin. All raw
+# localCheckpoint sites below are ONE-SHOT INTRA-ENTRY cuts: computed
+# and consumed 2-3x within a single entry evaluation, never looped over,
+# never memoized across queries.
+PINNED: dict[str, list[str]] = {
+    # the sanctioned implementation itself: materialize()'s reliable
+    # path (eager forced — lazy reliable pays the doCheckpoint
+    # recompute) and its local fallback
+    "operators/lineage.py": [
+        "return df.checkpoint(eager=True)",
+        "return df.localCheckpoint(eager=eager)",
+    ],
+    # one-shot: |langs|²-row confusion table (3 consumers), daily agg
+    # feeding stats + both join sides
+    "plans/catalog_r7.py": [
+        "conf = conf.localCheckpoint() # 3 consumers of a |langs|²-row table",
+        "daily = daily.localCheckpoint() # feeds stats + both join sides",
+    ],
+    # one-shot: per-part agg + probe side; per-(order,supp) rollup + probe
+    "plans/catalog_r7b.py": [
+        "li = li.localCheckpoint() # feeds the per-part agg AND the probe side",
+        "per_os = per_os.localCheckpoint() # feeds the rollup AND the probe",
+    ],
+    # one-shot: value panels feeding histogram + the phase-2 probe
+    # (two entries, same shape)
+    "plans/catalog_r7c.py": [
+        "vals = vals.localCheckpoint() # feeds histogram + phase-2 probe",
+        "vals = vals.localCheckpoint() # feeds histogram + phase-2 probe",
+    ],
+    # one-shot: hourly agg feeding stats + the flagged window
+    "plans/catalog_r7d.py": [
+        "hours = hours.localCheckpoint() # feeds stats + the flagged window",
+    ],
+    # one-shot: daily/per-nation aggs with 3 join consumers each
+    "plans/catalog_r7e.py": [
+        "daily = daily.localCheckpoint() # 3 join consumers",
+        "per_nation = per_nation.localCheckpoint() # 3 consumers",
+    ],
+    # one-shot: daily bloom panel (band join + current side), key table
+    # (bit probes + true-match verify)
+    "plans/catalog_r7g.py": [
+        "daily = daily.localCheckpoint() # band join + current side",
+        "keys = keys.localCheckpoint() # bits + true-match consumers",
+    ],
+    # one-shot: spatial point panel (probe + home sides)
+    "plans/catalog_r7h.py": [
+        "pts = pts.localCheckpoint() # probe + home sides",
+    ],
+    # one-shot: OOF row split consumed by three fold assemblies
+    "plans/catalog_r7j.py": [
+        "rows = rows.localCheckpoint() # three split consumers",
+    ],
+    # one-shot: triangle edge list + directed edge list, both consumed
+    # 2-3x inside graph_triangles' single evaluation (the ITERATIVE
+    # graph cuts in this file route through materialize at :513/:530)
+    "plans/catalog_r6h.py": [
+        "dir_e = dir_e.localCheckpoint()",
+        "e = e.localCheckpoint()",
+    ],
+    # one-shot: per-part agg (total + probe), per-(part,supp) rollup
+    # (rollup + probe)
+    "plans/catalog_r8.py": [
+        "per_part = per_part.localCheckpoint() # feeds the total AND the probe",
+        "per_ps = per_ps.localCheckpoint() # feeds the rollup AND the probe",
+    ],
+}
+
+
+def _observed() -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            src = open(path).read()
+            snips = []
+            for m in re.finditer(r"\.(?:localCheckpoint|checkpoint)\(", src):
+                line_start = src.rfind("\n", 0, m.start()) + 1
+                if src[line_start : m.start()].lstrip().startswith("#"):
+                    continue
+                line_end = src.find("\n", m.start())
+                if line_end == -1:
+                    line_end = len(src)
+                snips.append(
+                    re.sub(r"\s+", " ", src[line_start:line_end].strip())
+                )
+            if snips:
+                out[rel] = sorted(snips)
+    return out
+
+
+def test_checkpoint_sites_match_audited_pin():
+    got = _observed()
+    diffs = {}
+    for k in sorted(set(got) | set(PINNED)):
+        if got.get(k) != PINNED.get(k):
+            diffs[k] = {"observed": got.get(k), "pinned": PINNED.get(k)}
+    assert not diffs, (
+        "raw checkpoint call sites changed — classify each new/moved/"
+        "reworded cut against the lineage.py policy (loop-consumed or "
+        "session-memoized cuts MUST route through lineage.materialize; "
+        "one-shot intra-entry cuts stay raw localCheckpoint) and update "
+        "the pin.\n"
+        f"diffs: {diffs}"
+    )
