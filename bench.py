@@ -96,6 +96,37 @@ HEADLINE = [
 # cleared explicitly before its first rep (belt), and this assertion
 # pins the ordering (suspenders) so dedup_resolve_clusters's first rep
 # stays a memo-HIT consumer readout as labeled.
+# The previous round's HEADLINE set (r15 verdict ask #4): the headline
+# grows over rounds, so the total alone can't be compared round-over-
+# round. aux.prior_headline_subtotal_sec sums the current run's times
+# over LAST round's query set, making the like-for-like delta
+# mechanical (BENCH_r{N}.value vs BENCH_r{N+1}.aux subtotal). Update
+# this freeze whenever HEADLINE changes: set it to the HEADLINE list as
+# it stood in the round being shipped, BEFORE this round's additions.
+_PRIOR_HEADLINE = [
+    # r14's headline set (42 queries, BENCH_r14.json) — r15 adds none,
+    # so this round's subtotal equals the total by construction.
+    "agg_stats_summary", "join_multiway_revenue", "q3_pct_of_total",
+    "topk_per_group", "dedup_first_wins", "dedup_exact",
+    "text_token_stats", "events_hourly", "events_sessionize",
+    "dedup_minhash_lsh", "dedup_resolve_clusters", "similarity_topk",
+    "join_asof_events", "pack_sequences", "chunk_documents",
+    "decontaminate", "window_value_functions", "subquery_correlated_avg",
+    "dup_passage_docs", "token_bigram_pmi", "bm25_scores",
+    "embedding_quantize", "dedup_jaccard_pairs", "dedup_embedding_cosine",
+    "kl_source_drift", "dsir_importance", "exact_substr_spans",
+    "semdedup_prune", "boilerplate_windows", "sketch_cms_topk",
+    "skew_salted_join", "pagerank_event_graph", "simjoin_prefix",
+    "graph_triangles", "mann_whitney_u", "q21_sole_late_supplier",
+    "q18_large_orders", "dbscan_customers", "knn_graph_radius",
+    "q1_pricing_summary", "q2_min_cost_supplier", "er_golden_records",
+]
+assert set(_PRIOR_HEADLINE) <= set(HEADLINE), (
+    "prior-round headline entries must never be dropped from HEADLINE "
+    "(regressions would become invisible); retire an entry only with a "
+    "BENCH_NOTES rationale and a pin update here"
+)
+
 _MINHASH_MEMO_CONSUMERS = {
     "dedup_minhash_lsh",
     "dedup_resolve_clusters",
@@ -115,6 +146,16 @@ def main() -> None:
     load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # PROBE_CHECKPOINT_DIR (same contract as scripts/executor_loss_probe
+    # .py): set it to bench the RELIABLE-checkpoint path — every
+    # lineage.materialize cut becomes an eager reliable checkpoint
+    # instead of a localCheckpoint (r15 verdict ask #3: the steady-state
+    # storage-round-trip overhead a 100 TB deployment decision needs;
+    # see BENCH_NOTES.md for the measured per-query deltas). Unset =
+    # the default local path the driver records.
+    ckpt = os.environ.get("PROBE_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
 
     # Warm the JVM once so timings measure plans, not first-touch costs:
     # a shuffle (exchange + hash-agg codegen), a parquet scan of each hot
@@ -135,15 +176,22 @@ def main() -> None:
     first_rep: dict[str, float] = {}
     for name in HEADLINE:
         if name == "dedup_minhash_lsh":
-            # clear the session CC memo so rep 0 is the honest warm
-            # UNMEMOIZED cost of the full LSH -> CC pipeline even if a
-            # future HEADLINE edit puts another consumer first
+            # clear the MINHASH keys of the session CC memo so rep 0 is
+            # the honest warm UNMEMOIZED cost of the full LSH -> CC
+            # pipeline even if a future HEADLINE edit puts another
+            # consumer first. Only the minhash entries (plain sf_dir
+            # keys) are dropped — delattr-ing the whole memo dict would
+            # also evict the ("simhash_sig", sf_dir) entry and silently
+            # re-charge the simhash pipeline cost to a later consumer's
+            # timing (advisor r14).
             from data_engineering_project_capstone_spark.plans.catalog import (
                 _CC_MEMO_ATTR,
             )
 
-            if hasattr(spark, _CC_MEMO_ATTR):
-                delattr(spark, _CC_MEMO_ATTR)
+            memo = getattr(spark, _CC_MEMO_ATTR, None)
+            if memo is not None:
+                for key in [k for k in memo if isinstance(k, str)]:
+                    del memo[key]
         fn = CATALOG[name].spark_fn
         best = float("inf")
         for rep in range(2):
@@ -183,6 +231,12 @@ def main() -> None:
             ),
             "er_golden_records_first_rep_sec": round(
                 first_rep["er_golden_records"], 3
+            ),
+            # like-for-like subtotal over LAST round's headline set
+            # (r15 verdict ask #4): compare against the previous
+            # BENCH_r{N}.value directly, no prose arithmetic
+            "prior_headline_subtotal_sec": round(
+                sum(times[n] for n in _PRIOR_HEADLINE), 3
             ),
             # host-load context for round-over-round drift attribution:
             # the r8-r12 inflation episodes were all host, not code
