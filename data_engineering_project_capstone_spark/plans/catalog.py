@@ -1696,7 +1696,11 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session-memoized cut: routed through lineage.materialize
         # (r14) so a reliable-checkpoint deployment can recover the
         # memoized signatures after executor loss instead of
-        # fail-stopping every later simhash consumer in the session
+        # fail-stopping every later simhash consumer in the session.
+        # eager=False binds on the LOCAL path only (defer to the first
+        # consumer's action); the reliable path forces eager (r15 —
+        # lazy reliable pays a 2x doCheckpoint recompute, see
+        # lineage.materialize)
         per_session[key] = materialize(
             simhash_signatures(docs), eager=False
         )
@@ -5523,11 +5527,92 @@ _DRIVER_WINDOW_R14 = [
     "q12_priority_lateness",
 ]
 assert len(_DRIVER_WINDOW_R14) == 50, len(_DRIVER_WINDOW_R14)
+
+# Round-15 driver window — changed-first, then staleness (r14 verdict
+# ask #1):
+#   (a) the entries whose CODE PATH changed this round: the
+#       lineage.materialize reliable-path eager force (advisor r14 —
+#       a lazy reliable checkpoint pays the classic 2x doCheckpoint
+#       recompute and, under checkpointAllMarkedAncestors=false, drops
+#       all but the nearest mark of a cadence chain). The eager=False
+#       call sites are _simhash_sig's session memo (consumers:
+#       check_simhash_invariants; dedup_simhash is rows-only and stays
+#       out of the window by design) and catalog_r7i's in-loop label
+#       cadence cuts (consumers: dbscan_customers,
+#       check_dbscan_fixpoint). Behavior-identical without a
+#       checkpoint dir (the driver's configuration) — fresh rows close
+#       the loop the same way r14's materialize-adoption leads did.
+#   (b) the 13 deferred r9-row entries (the freshest-named alphabetical
+#       tail r14 left out, explicitly queued to lead this round);
+#   (c) r10-row staleness, alphabetical fill to 50 (34 of the 43; the
+#       9 left out are the freshest-named alphabetical tail and lead
+#       the r16 rotation: shard_balance, similarity_topk,
+#       simjoin_prefix, sketch_hll_union, source_token_budget,
+#       string_split, token_bigram_pmi, window_ntile_pctrank,
+#       zipf_fit).
+# The 8 rows-only entries stay excluded (once-only no_oracle records +
+# green hashable check_* twins), keeping the window a clean 50/50.
+_DRIVER_WINDOW_R15 = [
+    # (a) r15 reliable-path eager force (lazy-cut consumers)
+    "dbscan_customers",
+    "check_dbscan_fixpoint",
+    "check_simhash_invariants",
+    # (b) deferred r9-row tail, alphabetical
+    "q16_supplier_part_counts",
+    "q20_volume_share_suppliers",
+    "q2_min_cost_supplier",
+    "q3_pct_of_total",
+    "roc_auc_eval",
+    "spearman_corr",
+    "surrogate_ids",
+    "two_phase_quantiles",
+    "weighted_median",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_running_sum",
+    "window_value_functions",
+    # (c) r10-row staleness, alphabetical fill
+    "agg_approx",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_stats_summary",
+    "bm25_scores",
+    "cond_compass_format",
+    "curation_pipeline",
+    "date_parts",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_pairs",
+    "derived_cast_round",
+    "events_markov_stationary",
+    "events_sessionize",
+    "funnel_time_to_convert",
+    "graph_triangles",
+    "join_anti",
+    "join_left_counts",
+    "join_semi",
+    "lateral_topk",
+    "logreg_gd_weights",
+    "pack_sequences",
+    "priority_mix_shift",
+    "proj_filter",
+    "q14_promo_revenue",
+    "q1_pricing_summary",
+    "q8_market_share",
+    "quantile_norm_lengths",
+    "rfm_segments",
+    "sample_stratified",
+    "sas_date_convert",
+    "set_except",
+    "set_union",
+]
+assert len(_DRIVER_WINDOW_R15) == 50, len(_DRIVER_WINDOW_R15)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R14,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R14)),
+        *_DRIVER_WINDOW_R15,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R15)),
     )
 }
 

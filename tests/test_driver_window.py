@@ -31,18 +31,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # be a subset of the actual window — a lead dropped from the window
 # fails loudly instead of silently losing its fresh-row slot).
 CHANGED_FIRST_LEADS = {
-    # r14: the lineage.materialize adoption for the catalog-local
-    # iterative loops (DBSCAN grid-CC family in catalog_r7i, the
-    # graph_core_peel fixpoint in catalog_r6h, recursive_reachability's
-    # edge cut in catalog_r7l), plus the late policy-closure swaps
-    # (pagerank_event_graph's catalog_r6e edge cut and
-    # check_simhash_invariants' _simhash_sig memo cut)
+    # r15: the lineage.materialize reliable-path eager force (advisor
+    # r14 — lazy reliable checkpoints pay the 2x doCheckpoint recompute
+    # and drop all but the nearest mark of a cadence chain). The
+    # eager=False call sites are _simhash_sig's session memo (consumer:
+    # check_simhash_invariants; dedup_simhash is rows-only) and
+    # catalog_r7i's in-loop label cadence cuts (consumers:
+    # dbscan_customers, check_dbscan_fixpoint).
     "dbscan_customers",
     "check_dbscan_fixpoint",
-    "knn_graph_radius",
-    "recursive_reachability",
-    "graph_core_peel",
-    "pagerank_event_graph",
     "check_simhash_invariants",
 }
 
