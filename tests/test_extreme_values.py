@@ -154,11 +154,26 @@ def _build(kind: str, out_dir: str) -> None:
         )
 
 
+@pytest.fixture(scope="module")
+def _money_builds(tmp_path_factory):
+    """Module-shared corpus builder keyed by kind (advisor r14): the
+    parity fixture and the abort fixture both need the maxcents corpus;
+    building it once halves the shard's corpus-build I/O."""
+    cache: dict[str, str] = {}
+
+    def get(kind: str) -> str:
+        if kind not in cache:
+            d = tmp_path_factory.mktemp(f"money_{kind}")
+            _build(kind, str(d))
+            cache[kind] = str(d)
+        return cache[kind]
+
+    return get
+
+
 @pytest.fixture(scope="module", params=["bigmoney", "maxcents"])
-def money_dir(request, tmp_path_factory):
-    d = tmp_path_factory.mktemp(f"money_{request.param}")
-    _build(request.param, str(d))
-    return request.param, str(d)
+def money_dir(request, _money_builds):
+    return request.param, _money_builds(request.param)
 
 
 def _names_for(kind: str) -> list[str]:
@@ -247,10 +262,8 @@ ABORT_AT_MAXCENTS = [
 
 
 @pytest.fixture(scope="module")
-def maxcents_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("money_edge")
-    _build("maxcents", str(d))
-    return str(d)
+def maxcents_dir(_money_builds):
+    return _money_builds("maxcents")
 
 
 @pytest.mark.parametrize("name", ABORT_AT_MAXCENTS)
