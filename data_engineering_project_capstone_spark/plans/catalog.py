@@ -5608,11 +5608,87 @@ _DRIVER_WINDOW_R15 = [
     "set_union",
 ]
 assert len(_DRIVER_WINDOW_R15) == 50, len(_DRIVER_WINDOW_R15)
+
+# Round-16 driver window — pure staleness rotation (r15 verdict asks #2
+# and #3). No catalog entry's code path changed this round (the r16
+# source delta is bench-capture protocol + test-scanner hygiene), so
+# there are no changed-first leads; the window is:
+#   (a) the 9 deferred r10-row entries (the alphabetical tail r15 left
+#       out, explicitly queued to lead this rotation);
+#   (b) the 9 stale check_* twins (driver rows r12-r13) — the hashable
+#       oracle halves of the rows-only families, rotated in ahead of
+#       alphabetical filler (ask #3) so every check_* entry has a row
+#       <= 2 rounds old after r16 (check_dbscan_fixpoint and
+#       check_simhash_invariants are r15-fresh and stay out);
+#   (c) r11-row staleness, alphabetical fill to 50 (32 of the 43; the
+#       11 left out are the freshest-named alphabetical tail and lead
+#       the r17 rotation: string_regexp, target_encode_oof,
+#       text_bpe_count, text_dedup_tokens, text_lang_id, text_quality,
+#       text_token_stats, topk_per_group, trimmed_mean_price,
+#       unpivot_part, welch_ttest).
+# The 8 rows-only entries stay excluded (once-only no_oracle records +
+# green hashable check_* twins), keeping the window a clean 50/50.
+_DRIVER_WINDOW_R16 = [
+    # (a) deferred r10-row tail, alphabetical
+    "shard_balance",
+    "similarity_topk",
+    "simjoin_prefix",
+    "sketch_hll_union",
+    "source_token_budget",
+    "string_split",
+    "token_bigram_pmi",
+    "window_ntile_pctrank",
+    "zipf_fit",
+    # (b) stale check_* twins: r12 rows first, then r13, alphabetical
+    "check_ivf_topk",
+    "check_lsh_topk",
+    "check_multimodal",
+    "check_cluster_consistency",
+    "check_er_mass",
+    "check_minhash_containment",
+    "check_pixel_parity",
+    "check_png_pixels",
+    "check_wav_samples",
+    # (c) r11-row staleness, alphabetical fill
+    "agg_boolean_funcs",
+    "agg_conditional",
+    "agg_distinct_count",
+    "agg_distinct_twophase",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_stats_funcs",
+    "ansi_safe_casts",
+    "array_explode_agg",
+    "array_higher_order",
+    "cdc_apply_changes",
+    "conformal_interval",
+    "date_arithmetic",
+    "dedup_exact",
+    "dedup_incremental",
+    "doc_fingerprint",
+    "doc_length_percentiles",
+    "dup_passage_docs",
+    "events_hourly",
+    "events_json",
+    "events_json_struct",
+    "gapfill_resample",
+    "join_asof_events",
+    "join_asof_tolerance",
+    "join_multiway_revenue",
+    "join_range_bucketed",
+    "merge_scd2",
+    "q18_large_orders",
+    "q1_avg_price_by_nation",
+    "q2_count_by_nation_region",
+    "sample_hash_quota",
+    "string_functions",
+]
+assert len(_DRIVER_WINDOW_R16) == 50, len(_DRIVER_WINDOW_R16)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R15,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R15)),
+        *_DRIVER_WINDOW_R16,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R16)),
     )
 }
 

@@ -30,18 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # comment in plans/catalog.py each round, and machine-checked below to
 # be a subset of the actual window — a lead dropped from the window
 # fails loudly instead of silently losing its fresh-row slot).
-CHANGED_FIRST_LEADS = {
-    # r15: the lineage.materialize reliable-path eager force (advisor
-    # r14 — lazy reliable checkpoints pay the 2x doCheckpoint recompute
-    # and drop all but the nearest mark of a cadence chain). The
-    # eager=False call sites are _simhash_sig's session memo (consumer:
-    # check_simhash_invariants; dedup_simhash is rows-only) and
-    # catalog_r7i's in-loop label cadence cuts (consumers:
-    # dbscan_customers, check_dbscan_fixpoint).
-    "dbscan_customers",
-    "check_dbscan_fixpoint",
-    "check_simhash_invariants",
-}
+# r16: EMPTY — no catalog entry's code path changed this round (the
+# r16 source delta is bench-capture protocol + test-scanner hygiene,
+# neither of which touches any entry's execution). The window is pure
+# staleness rotation: the 9 deferred r10-row entries, the 9 stale
+# check_* twins (r12-r13 rows, r15 verdict ask #3), and the oldest 32
+# r11-row entries alphabetically.
+CHANGED_FIRST_LEADS: set[str] = set()
 
 
 def _latest_green() -> dict[str, int]:
