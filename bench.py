@@ -143,6 +143,19 @@ assert HEADLINE.index("dedup_minhash_lsh") == min(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Load-aware capture, part 1 (r15 verdict ask #1): BENCH_r15's +14%
+    # headline inflation was pure host load (loadavg 2.9 at capture
+    # start; a controlled back-to-back pair on the same tree read
+    # 39.03s/38.50s). Gate the capture on a quiet-ish host: if the
+    # 1-min loadavg exceeds the threshold, sleep once and re-read. All
+    # readings land in aux so the artifact shows whether the gate
+    # tripped — a still-hot second reading doesn't abort (the min-of-2
+    # full passes below is the main noise filter), it just leaves the
+    # evidence for drift attribution.
+    gate_readings = [round(os.getloadavg()[0], 2)]
+    if gate_readings[0] > 2.0:
+        time.sleep(60)
+        gate_readings.append(round(os.getloadavg()[0], 2))
     load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -170,38 +183,56 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
-    # two runs per query, report the min: steady-state throughput (first
-    # run pays per-plan codegen compile, which amortizes on a real cluster)
+    # Load-aware capture, part 2 (r15 verdict ask #1): TWO full passes
+    # over the headline set, per-query result = min across passes (each
+    # pass is itself the standing 2-rep min, so a query's recorded time
+    # is min-of-4 with the reps split ~2 minutes apart). A transient
+    # host-load episode that inflates one pass leaves the other clean;
+    # sustained load shows up as near-equal inflated pass totals in
+    # aux.pass_totals_sec plus hot loadavg readings — honestly
+    # distinguishable from a code regression (which inflates the SAME
+    # queries in BOTH passes). The session memo is re-cleared before
+    # dedup_minhash_lsh in each pass, so both rep-0 readings stay
+    # honest unmemoized costs and the aux first-rep fields below take
+    # the cross-pass min.
     times: dict[str, float] = {}
     first_rep: dict[str, float] = {}
-    for name in HEADLINE:
-        if name == "dedup_minhash_lsh":
-            # clear the MINHASH keys of the session CC memo so rep 0 is
-            # the honest warm UNMEMOIZED cost of the full LSH -> CC
-            # pipeline even if a future HEADLINE edit puts another
-            # consumer first. Only the minhash entries (plain sf_dir
-            # keys) are dropped — delattr-ing the whole memo dict would
-            # also evict the ("simhash_sig", sf_dir) entry and silently
-            # re-charge the simhash pipeline cost to a later consumer's
-            # timing (advisor r14).
-            from data_engineering_project_capstone_spark.plans.catalog import (
-                _CC_MEMO_ATTR,
-            )
+    pass_totals: list[float] = []
+    pass_loads: list[float] = []
+    for _pass in range(2):
+        pass_loads.append(round(os.getloadavg()[0], 2))
+        pass_best: dict[str, float] = {}
+        for name in HEADLINE:
+            if name == "dedup_minhash_lsh":
+                # clear the MINHASH keys of the session CC memo so rep 0
+                # is the honest warm UNMEMOIZED cost of the full LSH ->
+                # CC pipeline even if a future HEADLINE edit puts
+                # another consumer first. Only the minhash entries
+                # (plain sf_dir keys) are dropped — delattr-ing the
+                # whole memo dict would also evict the
+                # ("simhash_sig", sf_dir) entry and silently re-charge
+                # the simhash pipeline cost to a later consumer's
+                # timing (advisor r14).
+                from data_engineering_project_capstone_spark.plans.catalog import (
+                    _CC_MEMO_ATTR,
+                )
 
-            memo = getattr(spark, _CC_MEMO_ATTR, None)
-            if memo is not None:
-                for key in [k for k in memo if isinstance(k, str)]:
-                    del memo[key]
-        fn = CATALOG[name].spark_fn
-        best = float("inf")
-        for rep in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            if rep == 0:
-                first_rep[name] = dt
-            best = min(best, dt)
-        times[name] = round(best, 3)
+                memo = getattr(spark, _CC_MEMO_ATTR, None)
+                if memo is not None:
+                    for key in [k for k in memo if isinstance(k, str)]:
+                        del memo[key]
+            fn = CATALOG[name].spark_fn
+            best = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                if rep == 0:
+                    first_rep[name] = min(first_rep.get(name, dt), dt)
+                best = min(best, dt)
+            pass_best[name] = best
+            times[name] = round(min(times.get(name, best), best), 3)
+        pass_totals.append(round(sum(pass_best.values()), 3))
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -245,6 +276,20 @@ def main() -> None:
             # ledger instead of a fresh probe.
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            # load-aware capture evidence (r15 verdict ask #1): the
+            # loadavg gate readings (two values = the gate tripped and
+            # slept once), each full pass's subtotal of per-pass bests,
+            # and the 1-min loadavg at each pass start. Near-equal pass
+            # totals + quiet loads = trustworthy headline; a divergent
+            # pair shows exactly which pass a load episode hit.
+            "loadavg_gate_readings": gate_readings,
+            "pass_totals_sec": pass_totals,
+            "pass_loadavg_1min": pass_loads,
+            # advisor r15: make a reliable-path run's output line
+            # distinguishable from a default local-path line, so an
+            # env-polluted capture can't silently conflate the two
+            # configurations in the round-over-round ledger.
+            "reliable_checkpoint_path": ckpt or None,
         },
         "sf": float(sf),
     }
