@@ -22,12 +22,16 @@ Adding, moving, or rewording a cut fails it, forcing the author to
 classify the new site — one-shot intra-entry (raw is fine), or
 loop-consumed / session-memoized (must be ``materialize``) — and
 consciously update the pin. (Snippets are the full source line,
-whitespace-normalized; comment lines excluded; per-file lists sorted,
-duplicates meaningful.)
+whitespace-normalized; per-file lists sorted, duplicates meaningful.
+Call sites are found by walking each module's AST for ``Call`` nodes
+whose callee attribute is ``checkpoint``/``localCheckpoint`` — advisor
+r15: the earlier textual scan would have pinned a phantom site for a
+docstring or string literal mentioning ``df.checkpoint(...)``.)
 """
 
 from __future__ import annotations
 
+import ast
 import os
 import re
 
@@ -113,20 +117,54 @@ def _observed() -> dict[str, list[str]]:
             path = os.path.join(root, fn)
             rel = os.path.relpath(path, PKG).replace(os.sep, "/")
             src = open(path).read()
+            lines = src.splitlines()
             snips = []
-            for m in re.finditer(r"\.(?:localCheckpoint|checkpoint)\(", src):
-                line_start = src.rfind("\n", 0, m.start()) + 1
-                if src[line_start : m.start()].lstrip().startswith("#"):
-                    continue
-                line_end = src.find("\n", m.start())
-                if line_end == -1:
-                    line_end = len(src)
-                snips.append(
-                    re.sub(r"\s+", " ", src[line_start:line_end].strip())
-                )
+            # AST walk, not a text grep (advisor r15): only genuine
+            # Call nodes count, so docstrings, comments, and string
+            # literals mentioning `.checkpoint(` can neither pin a
+            # phantom site nor spuriously fail the pin. The snippet is
+            # the source line containing the attribute name (the same
+            # line the old textual scan captured), so PINNED entries
+            # are unchanged.
+            for node in ast.walk(ast.parse(src, filename=path)):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in ("checkpoint", "localCheckpoint")
+                ):
+                    line = lines[node.func.end_lineno - 1]
+                    snips.append(re.sub(r"\s+", " ", line.strip()))
             if snips:
                 out[rel] = sorted(snips)
     return out
+
+
+def test_scanner_skips_strings_and_comments_but_sees_calls():
+    """Self-check of the AST scanner's semantics (advisor r15): string
+    literals, docstrings, and comments mentioning checkpoint calls are
+    invisible; real calls — including multi-line and eager=False forms —
+    are captured by the line holding the attribute name."""
+    src = (
+        '"""Module doc: never call df.checkpoint(eager=False) lazily."""\n'
+        "MSG = 'see df.localCheckpoint() docs'\n"
+        "# x = df.checkpoint()\n"
+        "a = df.localCheckpoint()  # real\n"
+        "b = (df\n"
+        "     .checkpoint(eager=False))\n"
+    )
+    snips = []
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in ("checkpoint", "localCheckpoint")
+        ):
+            line = src.splitlines()[node.func.end_lineno - 1]
+            snips.append(re.sub(r"\s+", " ", line.strip()))
+    assert sorted(snips) == [
+        ".checkpoint(eager=False))",
+        "a = df.localCheckpoint() # real",
+    ], snips
 
 
 def test_checkpoint_sites_match_audited_pin():
