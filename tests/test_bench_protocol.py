@@ -1,0 +1,56 @@
+"""Structural tripwires on the official bench artifact's contract.
+
+BENCH_r{N}.json is the standing cross-round performance evidence
+(BENCH_NOTES drift protocol); the judge compares it round-over-round.
+Two silent ways to corrupt it with an innocent-looking edit:
+
+1. a duplicate name in HEADLINE — the per-query dict collapses the
+   duplicate, the total drops by that query's time, and the artifact
+   reads as a phantom speedup;
+2. dropping one of the aux fields the ledger's attribution protocol
+   relies on (pass totals, loadavg gate/readings, the reliable-path
+   tag, the memo first-rep twins, the prior-headline subtotal).
+
+Neither is exercised by running bench at test time (a full sf0.1 run
+is minutes); these pins are static. The module-level asserts in
+bench.py (prior-headline subset, minhash-consumer ordering) also fire
+on the import below, so a violation of those fails here too.
+"""
+
+from __future__ import annotations
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_headline_names_unique_and_in_catalog():
+    import bench
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), (
+        "duplicate HEADLINE entry — the per-query dict would collapse "
+        "it and the total would silently drop"
+    )
+    missing = [n for n in bench.HEADLINE if n not in bench.CATALOG]
+    assert not missing, f"HEADLINE names not in CATALOG: {missing}"
+
+
+def test_aux_ledger_fields_still_emitted():
+    # static source pin: the aux keys the round-over-round attribution
+    # protocol reads (BENCH_NOTES r16). Renaming or dropping one must
+    # be a conscious BENCH_NOTES-documented change, not a refactor
+    # casualty.
+    src = open(os.path.join(REPO, "bench.py")).read()
+    for key in (
+        "dedup_minhash_lsh_unmemoized_warm_sec",
+        "dedup_resolve_clusters_first_rep_sec",
+        "er_golden_records_first_rep_sec",
+        "prior_headline_subtotal_sec",
+        "loadavg_start",
+        "loadavg_end",
+        "loadavg_gate_readings",
+        "pass_totals_sec",
+        "pass_loadavg_1min",
+        "reliable_checkpoint_path",
+    ):
+        assert f'"{key}"' in src, f"bench.py no longer emits aux.{key}"
