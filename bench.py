@@ -231,14 +231,18 @@ def main() -> None:
                     first_rep[name] = min(first_rep.get(name, dt), dt)
                 best = min(best, dt)
             pass_best[name] = best
-            times[name] = round(min(times.get(name, best), best), 3)
+            # keep the raw float across passes; round ONCE when building
+            # the output dict below, mirroring pass_best/pass_totals
+            # (advisor r16: min(rounded, raw) could differ from the true
+            # cross-pass min by up to 0.0005s per query)
+            times[name] = min(times.get(name, best), best)
         pass_totals.append(round(sum(pass_best.values()), 3))
 
     out = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(times.values()), 3),
+        "value": round(sum(times.values()), 3),  # summed raw, rounded once
         "unit": "sec",
-        "queries": times,
+        "queries": {name: round(t, 3) for name, t in times.items()},
         # Standing dual number for the session-memoized CC-consumer
         # family (r12 verdict ask #4): its min-of-2 times the memo hit,
         # so a regression in the UNMEMOIZED pipeline (the r12 CC

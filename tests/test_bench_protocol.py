@@ -35,12 +35,43 @@ def test_headline_names_unique_and_in_catalog():
     assert not missing, f"HEADLINE names not in CATALOG: {missing}"
 
 
+def _aux_literal_keys() -> set[str]:
+    """String keys of the dict literal bound to the "aux" key inside
+    bench.py's output dict, found structurally via AST (advisor r16:
+    a raw substring search would be satisfied by a quoted key
+    surviving in a docstring or dead code even after the actual aux
+    emit was removed)."""
+    import ast
+
+    src = open(os.path.join(REPO, "bench.py")).read()
+    for node in ast.walk(ast.parse(src)):
+        if not isinstance(node, ast.Dict):
+            continue
+        for k, v in zip(node.keys, node.values):
+            if (
+                isinstance(k, ast.Constant)
+                and k.value == "aux"
+                and isinstance(v, ast.Dict)
+            ):
+                return {
+                    kk.value
+                    for kk in v.keys
+                    if isinstance(kk, ast.Constant)
+                    and isinstance(kk.value, str)
+                }
+    raise AssertionError(
+        'bench.py no longer builds an "aux" dict literal inside its '
+        "output dict"
+    )
+
+
 def test_aux_ledger_fields_still_emitted():
-    # static source pin: the aux keys the round-over-round attribution
-    # protocol reads (BENCH_NOTES r16). Renaming or dropping one must
+    # structural source pin: the aux keys the round-over-round
+    # attribution protocol reads (BENCH_NOTES r16) must appear as dict
+    # keys inside the aux literal itself. Renaming or dropping one must
     # be a conscious BENCH_NOTES-documented change, not a refactor
     # casualty.
-    src = open(os.path.join(REPO, "bench.py")).read()
+    keys = _aux_literal_keys()
     for key in (
         "dedup_minhash_lsh_unmemoized_warm_sec",
         "dedup_resolve_clusters_first_rep_sec",
@@ -53,4 +84,4 @@ def test_aux_ledger_fields_still_emitted():
         "pass_loadavg_1min",
         "reliable_checkpoint_path",
     ):
-        assert f'"{key}"' in src, f"bench.py no longer emits aux.{key}"
+        assert key in keys, f"bench.py no longer emits aux.{key}"

@@ -30,13 +30,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # comment in plans/catalog.py each round, and machine-checked below to
 # be a subset of the actual window — a lead dropped from the window
 # fails loudly instead of silently losing its fresh-row slot).
-# r16: EMPTY — no catalog entry's code path changed this round (the
-# r16 source delta is bench-capture protocol + test-scanner hygiene,
-# neither of which touches any entry's execution). The window is pure
-# staleness rotation: the 9 deferred r10-row entries, the 9 stale
-# check_* twins (r12-r13 rows, r15 verdict ask #3), and the oldest 32
-# r11-row entries alphabetically.
+# r17: EMPTY — no catalog entry's code path changed this round (the
+# r17 source delta is bench rounding hygiene + test pins, neither of
+# which touches any entry's execution). The window is the 11-entry
+# r11-row alphabetical tail queued by r16, the 8 rows-only entries
+# (post-regeneration refresh, r16 verdict ask #2), and the oldest 31
+# r12-row entries alphabetically.
 CHANGED_FIRST_LEADS: set[str] = set()
+
+# Rows-only (no_oracle) entries explicitly slotted into the CURRENT
+# window for a post-regeneration driver row (r16 verdict ask #2).
+# Their only prior driver rows date from r03-r08, before the r3/r4
+# testdata regeneration; each is verified every pytest run by a green
+# hashable check_* twin, but the ledger itself should also show a
+# rows-recorded row on the current data generation. These slots are
+# exempt from the oracle-paired assertion below — and ONLY these.
+ROWS_ONLY_REFRESH: set[str] = {
+    "dedup_minhash_lsh",
+    "dedup_resolve_clusters",
+    "dedup_simhash",
+    "er_golden_records",
+    "multimodal_decode",
+    "multimodal_features",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+}
 
 
 def _latest_green() -> dict[str, int]:
@@ -65,9 +83,15 @@ def test_window_contains_all_stalest_oracle_entries():
     oracle = set(entry.oracle_sql().keys())
     window = [n for n in names[:50]]
     assert len(window) == 50
-    assert all(n in oracle for n in window), (
-        "window slots must all be oracle-paired (rows-only entries get "
-        "once-only records + check_* twins)"
+    non_oracle = {n for n in window if n not in oracle}
+    assert non_oracle <= ROWS_ONLY_REFRESH, (
+        "window slots must be oracle-paired except the explicitly "
+        f"slotted rows-only refresh entries; unexpected: "
+        f"{sorted(non_oracle - ROWS_ONLY_REFRESH)}"
+    )
+    assert ROWS_ONLY_REFRESH <= set(window), (
+        f"rows-only refresh entries missing from the driver window: "
+        f"{sorted(ROWS_ONLY_REFRESH - set(window))}"
     )
     assert CHANGED_FIRST_LEADS <= set(window), (
         f"changed-first leads missing from the driver window: "
