@@ -143,17 +143,27 @@ assert HEADLINE.index("dedup_minhash_lsh") == min(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Load-aware capture, part 1 (r15 verdict ask #1): BENCH_r15's +14%
-    # headline inflation was pure host load (loadavg 2.9 at capture
-    # start; a controlled back-to-back pair on the same tree read
-    # 39.03s/38.50s). Gate the capture on a quiet-ish host: if the
-    # 1-min loadavg exceeds the threshold, sleep once and re-read. All
-    # readings land in aux so the artifact shows whether the gate
-    # tripped — a still-hot second reading doesn't abort (the min-of-2
-    # full passes below is the main noise filter), it just leaves the
+    # Load-aware capture, part 1 (r15 verdict ask #1, hardened per r17
+    # verdict ask #2): BENCH_r15's +14% and BENCH_r17's +10% headline
+    # inflations were both pure host load. The original single-sleep
+    # gate admitted r17's capture at loadavg 1.98 — 1% under the old
+    # 2.0 threshold and climbing. Hardened form: bounded retry loop —
+    # keep sleeping 60s until the 1-min loadavg drops below 1.5, up to
+    # 5 sleeps. All readings land in aux.loadavg_gate_readings so the
+    # artifact shows the full gate history (N+1 readings = N sleeps; a
+    # final reading >= 1.5 = retries exhausted on a sustained-busy
+    # host). Only WHEN the capture starts changes — the measurement
+    # protocol below (warmup, 2 passes x 2 reps, min-of-4) is
+    # untouched, so round-over-round value-vs-value comparability is
+    # preserved. Retries exhausting doesn't abort (the min-of-2 full
+    # passes below is still the main noise filter); it just leaves the
     # evidence for drift attribution.
+    GATE_THRESHOLD = 1.5
+    GATE_MAX_SLEEPS = 5
     gate_readings = [round(os.getloadavg()[0], 2)]
-    if gate_readings[0] > 2.0:
+    for _ in range(GATE_MAX_SLEEPS):
+        if gate_readings[-1] < GATE_THRESHOLD:
+            break
         time.sleep(60)
         gate_readings.append(round(os.getloadavg()[0], 2))
     load_start = os.getloadavg()
@@ -280,12 +290,14 @@ def main() -> None:
             # ledger instead of a fresh probe.
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-            # load-aware capture evidence (r15 verdict ask #1): the
-            # loadavg gate readings (two values = the gate tripped and
-            # slept once), each full pass's subtotal of per-pass bests,
-            # and the 1-min loadavg at each pass start. Near-equal pass
-            # totals + quiet loads = trustworthy headline; a divergent
-            # pair shows exactly which pass a load episode hit.
+            # load-aware capture evidence (r15 ask #1, r17 ask #2): the
+            # full gate history (N+1 readings = N 60s sleeps; a final
+            # reading >= 1.5 means the bounded retries exhausted on a
+            # sustained-busy host), each full pass's subtotal of
+            # per-pass bests, and the 1-min loadavg at each pass start.
+            # Near-equal pass totals + quiet loads = trustworthy
+            # headline; a divergent pair shows exactly which pass a
+            # load episode hit.
             "loadavg_gate_readings": gate_readings,
             "pass_totals_sec": pass_totals,
             "pass_loadavg_1min": pass_loads,

@@ -5761,11 +5761,84 @@ _DRIVER_WINDOW_R17 = [
     "source_dup_matrix",
 ]
 assert len(_DRIVER_WINDOW_R17) == 50, len(_DRIVER_WINDOW_R17)
+
+# Round-18 driver window — pure staleness rotation (r17 verdict ask #1).
+# No catalog entry's code path changed this round (the r18 source delta
+# is the bench loadavg-gate hardening + test pins, neither of which
+# touches any entry's execution), so there are no changed-first leads
+# and no rows-only slots remain to refresh (the 8 no_oracle entries got
+# their post-regeneration rows in r17; ROWS_ONLY_REFRESH in
+# tests/test_driver_window.py is emptied this round). The window is:
+#   (a) the 9-entry r12-row alphabetical tail explicitly queued by the
+#       r17 rotation (subquery_correlated_avg .. window_range_frame) —
+#       the oldest oracle-paired rows in the ledger;
+#   (b) the full 41-entry r13-row cohort, alphabetical — 9 + 41 = 50
+#       exactly, so this rotation consumes the r13 staleness layer
+#       whole; after it the oldest remaining rows are the r14 cohort
+#       (47 entries), which leads the r19 rotation (alphabetical
+#       fill: agg_modes .. user_activity_features, 47 of 47 fit with
+#       3 slots left for the r15 head: agg_approx, agg_cube,
+#       agg_distinct).
+_DRIVER_WINDOW_R18 = [
+    # (a) r12-row tail, alphabetical
+    "subquery_correlated_avg",
+    "text_char_entropy",
+    "text_dup_bigrams",
+    "text_gopher_filters",
+    "tfidf_top_terms",
+    "token_histogram",
+    "union_schema_evolution",
+    "vocab_coverage",
+    "window_range_frame",
+    # (b) r13-row cohort, alphabetical (all 41)
+    "ab_test_analysis",
+    "abc_classification",
+    "agg_correlation",
+    "agg_having",
+    "agg_robust_mad",
+    "benford_digit_test",
+    "bloom_prefilter_join",
+    "boilerplate_windows",
+    "bpe_merge_pairs",
+    "churn_feature_lift",
+    "churn_labels",
+    "dedup_soft_weights",
+    "dup_graph_degree",
+    "embedding_norm_outliers",
+    "event_paths",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_json_variant",
+    "events_retention_cohorts",
+    "events_seasonality",
+    "events_session_window",
+    "events_time_decay",
+    "exact_substr_spans",
+    "funnel_strict_sequence",
+    "langid_confusion",
+    "nb_source_classifier",
+    "orders_cohort_ltv",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q5_local_volume",
+    "rolling_distinct_users",
+    "semdedup_prune",
+    "session_bounce_rate",
+    "set_intersect",
+    "sketch_cms_topk",
+    "skew_profile",
+    "split_assign",
+    "split_no_leakage",
+    "subquery_scalar_avg",
+    "survival_signup_purchase",
+    "text_readability",
+]
+assert len(_DRIVER_WINDOW_R18) == 50, len(_DRIVER_WINDOW_R18)
 CATALOG = {
     name: CATALOG[name]
     for name in (
-        *_DRIVER_WINDOW_R17,
-        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R17)),
+        *_DRIVER_WINDOW_R18,
+        *(k for k in CATALOG if k not in set(_DRIVER_WINDOW_R18)),
     )
 }
 

@@ -30,31 +30,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # comment in plans/catalog.py each round, and machine-checked below to
 # be a subset of the actual window — a lead dropped from the window
 # fails loudly instead of silently losing its fresh-row slot).
-# r17: EMPTY — no catalog entry's code path changed this round (the
-# r17 source delta is bench rounding hygiene + test pins, neither of
-# which touches any entry's execution). The window is the 11-entry
-# r11-row alphabetical tail queued by r16, the 8 rows-only entries
-# (post-regeneration refresh, r16 verdict ask #2), and the oldest 31
-# r12-row entries alphabetically.
+# r18: EMPTY — no catalog entry's code path changed this round (the
+# r18 source delta is the bench loadavg-gate hardening + test pins,
+# neither of which touches any entry's execution). The window is the
+# 9-entry r12-row alphabetical tail queued by r17 plus the full
+# 41-entry r13-row cohort.
 CHANGED_FIRST_LEADS: set[str] = set()
 
 # Rows-only (no_oracle) entries explicitly slotted into the CURRENT
-# window for a post-regeneration driver row (r16 verdict ask #2).
-# Their only prior driver rows date from r03-r08, before the r3/r4
-# testdata regeneration; each is verified every pytest run by a green
-# hashable check_* twin, but the ledger itself should also show a
-# rows-recorded row on the current data generation. These slots are
-# exempt from the oracle-paired assertion below — and ONLY these.
-ROWS_ONLY_REFRESH: set[str] = {
-    "dedup_minhash_lsh",
-    "dedup_resolve_clusters",
-    "dedup_simhash",
-    "er_golden_records",
-    "multimodal_decode",
-    "multimodal_features",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-}
+# window for a rows-recorded driver row. This was a ONE-ROUND allowance
+# (r16 verdict ask #2, executed in the r17 window): the 8 no_oracle
+# entries' only prior rows predated the r3/r4 testdata regeneration,
+# and each got a fresh rows-recorded row in CORRECTNESS_r17. EMPTY
+# since r18 — every window slot must be oracle-paired again. When a
+# future round slots rows-only entries deliberately, repopulate this
+# set for that round only (the containment check below is conditional
+# on the set being non-empty, so emptying it never fails; advisor r17).
+ROWS_ONLY_REFRESH: set[str] = set()
 
 
 def _latest_green() -> dict[str, int]:
@@ -89,10 +81,14 @@ def test_window_contains_all_stalest_oracle_entries():
         f"slotted rows-only refresh entries; unexpected: "
         f"{sorted(non_oracle - ROWS_ONLY_REFRESH)}"
     )
-    assert ROWS_ONLY_REFRESH <= set(window), (
-        f"rows-only refresh entries missing from the driver window: "
-        f"{sorted(ROWS_ONLY_REFRESH - set(window))}"
-    )
+    # conditional (advisor r17): the exemption above always holds, but
+    # requiring containment only makes sense in a round that actually
+    # slots rows-only entries — an emptied set must not demand anything.
+    if ROWS_ONLY_REFRESH:
+        assert ROWS_ONLY_REFRESH <= set(window), (
+            f"rows-only refresh entries missing from the driver window: "
+            f"{sorted(ROWS_ONLY_REFRESH - set(window))}"
+        )
     assert CHANGED_FIRST_LEADS <= set(window), (
         f"changed-first leads missing from the driver window: "
         f"{sorted(CHANGED_FIRST_LEADS - set(window))}"
