@@ -140,6 +140,27 @@ assert HEADLINE.index("dedup_minhash_lsh") == min(
 ), "dedup_minhash_lsh must precede every other _minhash_components consumer"
 
 
+def _cpu_probe() -> float:
+    """Single-thread deterministic CPU calibration: wall time of a fixed
+    2M-iteration integer loop. Attribution evidence for a failure mode
+    the r18 session measured directly: on this virtualized host,
+    hypervisor-level contention is INVISIBLE to both loadavg and
+    /proc/stat steal (a 49.6s capture ran with 1-min loadavg 0.06 at
+    the gate, ~90% guest idle and steal=0.0% sampled every 5s
+    throughout — yet wall time inflated ~40% vs the quiet-host value).
+    The probe exposes that time dilation directly: readings materially
+    above the quiet-host band (~0.18-0.21s on this image, recorded in
+    BENCH_NOTES r18) mean the capture ran time-dilated and the headline
+    is NOT comparable value-vs-value, whatever the loadavg said.
+    Evidence only — does not gate or change the measurement protocol."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    assert acc >= 0  # keep the loop un-elidable
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -166,6 +187,7 @@ def main() -> None:
             break
         time.sleep(60)
         gate_readings.append(round(os.getloadavg()[0], 2))
+    cpu_probes = [_cpu_probe()]  # at capture start; again after each pass
     load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -247,6 +269,7 @@ def main() -> None:
             # cross-pass min by up to 0.0005s per query)
             times[name] = min(times.get(name, best), best)
         pass_totals.append(round(sum(pass_best.values()), 3))
+        cpu_probes.append(_cpu_probe())
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -301,6 +324,13 @@ def main() -> None:
             "loadavg_gate_readings": gate_readings,
             "pass_totals_sec": pass_totals,
             "pass_loadavg_1min": pass_loads,
+            # deterministic single-thread calibration (r18): [start,
+            # after pass 1, after pass 2]. Quiet-host band ~0.18-0.21s
+            # on this image (BENCH_NOTES r18); readings materially above
+            # it = hypervisor-level time dilation that loadavg and
+            # steal accounting both miss — the capture is contaminated
+            # even if every loadavg field reads quiet.
+            "cpu_probe_sec": cpu_probes,
             # advisor r15: make a reliable-path run's output line
             # distinguishable from a default local-path line, so an
             # env-polluted capture can't silently conflate the two

@@ -114,6 +114,7 @@ def test_aux_ledger_fields_still_emitted():
         "loadavg_gate_readings",
         "pass_totals_sec",
         "pass_loadavg_1min",
+        "cpu_probe_sec",
         "reliable_checkpoint_path",
     ):
         assert key in keys, f"bench.py no longer emits aux.{key}"
