@@ -118,6 +118,23 @@ _EMPTY_OK = {
     # assertion spuriously.
     "sf0.01": {"source_dup_matrix"},
     "sf0.001": {"source_dup_matrix", "q11_important_share"},
+    # measured r18 (first full-catalog differential at sf0.1 — the r14
+    # sweep's "only source_dup_matrix" note covered sf0.01/sf0.001;
+    # sf0.1 had never been swept): 245/247 non-vacuous; two verified
+    # scale artifacts, both engines agreeing empty==empty:
+    # - events_burst_hours: the events generator spans a FIXED 720-hour
+    #   window, so per-hour counts grow with SF while relative Poisson
+    #   variance shrinks — max/mean hourly rate is 3.19 at sf0.001,
+    #   2.16 at sf0.01, 1.26 at sf0.1, crossing below the 1.5x burst
+    #   threshold; zero flagged hours, zero islands.
+    # - q11_important_share: fixed share threshold (v > total/1000)
+    #   over a part population that grows with SF — max per-part share
+    #   is 0.00216 at sf0.01 (238 qualifiers) but 0.00044 at sf0.1
+    #   (zero). Real TPC-H scales Q11's fraction by 1/SF for exactly
+    #   this reason; this catalog pins the fixed-fraction form, so the
+    #   entry is exercised non-vacuously at sf0.01 (the driver's SF)
+    #   and legitimately empty above it.
+    "sf0.1": {"events_burst_hours", "q11_important_share"},
 }
 _EMPTY_OK_HERE = _EMPTY_OK.get(
     os.path.basename(os.path.normpath(SF_DIR)), set()
