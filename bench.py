@@ -152,7 +152,9 @@ def _cpu_probe() -> float:
     above the quiet-host band (~0.18-0.21s on this image, recorded in
     BENCH_NOTES r18) mean the capture ran time-dilated and the headline
     is NOT comparable value-vs-value, whatever the loadavg said.
-    Evidence only — does not gate or change the measurement protocol."""
+    Used two ways, neither touching the measurement protocol itself:
+    as a retry signal in the capture-start gate (alongside loadavg),
+    and as per-pass evidence in aux.cpu_probe_sec."""
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):
@@ -179,15 +181,30 @@ def main() -> None:
     # preserved. Retries exhausting doesn't abort (the min-of-2 full
     # passes below is still the main noise filter); it just leaves the
     # evidence for drift attribution.
+    # The gate retries on EITHER signal being hot (r18 session
+    # measurement): a capture that started at 1-min loadavg 0.06 ran
+    # 42.8s vs the 35.9s quiet value because the host was time-dilated
+    # by hypervisor-level contention loadavg cannot see — but the CPU
+    # probe read 0.304s (+52% over the 0.18-0.21s quiet band) BEFORE
+    # any Spark work started. Probe-out-of-band therefore also trips
+    # the retry; both series land in aux.
     GATE_THRESHOLD = 1.5
     GATE_MAX_SLEEPS = 5
+    PROBE_GATE_THRESHOLD = 0.25  # quiet band ~0.18-0.21s + margin
     gate_readings = [round(os.getloadavg()[0], 2)]
+    probe_gate_readings = [_cpu_probe()]
     for _ in range(GATE_MAX_SLEEPS):
-        if gate_readings[-1] < GATE_THRESHOLD:
+        if (
+            gate_readings[-1] < GATE_THRESHOLD
+            and probe_gate_readings[-1] < PROBE_GATE_THRESHOLD
+        ):
             break
         time.sleep(60)
         gate_readings.append(round(os.getloadavg()[0], 2))
-    cpu_probes = [_cpu_probe()]  # at capture start; again after each pass
+        probe_gate_readings.append(_cpu_probe())
+    # capture-start probe = the gate's final reading; two more follow,
+    # one after each pass
+    cpu_probes = [probe_gate_readings[-1]]
     load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -322,6 +339,10 @@ def main() -> None:
             # headline; a divergent pair shows exactly which pass a
             # load episode hit.
             "loadavg_gate_readings": gate_readings,
+            # the gate's probe series, parallel to loadavg_gate_readings
+            # (r18): a final reading >= 0.25 = retries exhausted on a
+            # sustained-dilated host.
+            "probe_gate_readings": probe_gate_readings,
             "pass_totals_sec": pass_totals,
             "pass_loadavg_1min": pass_loads,
             # deterministic single-thread calibration (r18): [start,

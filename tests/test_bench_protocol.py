@@ -91,10 +91,16 @@ def test_loadavg_gate_is_bounded_retry_until_quiet():
         for node in ast.walk(ast.parse(src))
         if isinstance(node, ast.Assign) and isinstance(node.value, ast.Constant)
         for t in node.targets
-        if isinstance(t, ast.Name) and t.id in ("GATE_THRESHOLD", "GATE_MAX_SLEEPS")
+        if isinstance(t, ast.Name)
+        and t.id in ("GATE_THRESHOLD", "GATE_MAX_SLEEPS", "PROBE_GATE_THRESHOLD")
     }
     assert consts.get("GATE_THRESHOLD") == 1.5, consts
     assert consts.get("GATE_MAX_SLEEPS") == 5, consts
+    # r18: the gate also retries on the CPU calibration probe reading
+    # out-of-band — the loadavg-invisible hypervisor-dilation class
+    # measured this round (a 42.8s capture started at loadavg 0.06 but
+    # probe 0.304; the probe saw it, loadavg could not).
+    assert consts.get("PROBE_GATE_THRESHOLD") == 0.25, consts
 
 
 def test_aux_ledger_fields_still_emitted():
@@ -112,6 +118,7 @@ def test_aux_ledger_fields_still_emitted():
         "loadavg_start",
         "loadavg_end",
         "loadavg_gate_readings",
+        "probe_gate_readings",
         "pass_totals_sec",
         "pass_loadavg_1min",
         "cpu_probe_sec",
