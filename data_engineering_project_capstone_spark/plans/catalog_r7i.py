@@ -5,18 +5,21 @@ grid-blocked integer geometry introduced by ``catalog_r7h``:
   content-addressed customer coordinates. Every stage is the
   distributed form: neighbor degrees from the radius-sized-cell 3×3
   probe (provably lossless for eps ≤ cell size), core flags, an edge
-  list between core points, and connected components by K=16 unrolled
-  (edge-propagate + pointer-jump) round PAIRS — the SAME unrolled
-  structure in the DuckDB oracle (the engine precedent for iterative
-  algorithms: fixed-iteration Spark loop ↔ unrolled CTE SQL). The
-  pointer-jump rounds are the r8 fix for the r7 verdict's perf-weak
-  watch: plain K-hop propagation was PROVEN under-converged at sf0.1
-  (2068 labels still moving after 10 rounds — the reported 6-cluster
-  split of the giant eps-component was wrong DBSCAN; the true answer
-  is one 15000-core cluster). Doubling gives multiplicative reach;
-  measured convergence at sf0.1 is 14 pairs, 16 adds margin, and
-  check_dbscan_fixpoint goes red at the driver if any scale ever
-  exceeds it. Border points attach to the MIN core-neighbor label
+  list between core points, and connected components via EXACT
+  contraction-based union-find (r18: ``operators.cc_fast`` — one
+  partition-local union-find pass over the edge list + a
+  driver-bounded root merge; see that module for the exactness proof
+  and 100 TB shape). The r8–r17 form was K=16 unrolled
+  (edge-propagate + pointer-jump) round PAIRS — correct (proven
+  converged at every driver SF) but ~96 AQE stage-jobs of scheduler
+  latency at sf0.1 and 16 full-edge-list shuffles at scale. The
+  DuckDB oracle keeps the unrolled-CTE structure (the engine
+  precedent for iterative algorithms); at its proven-converged SFs
+  its labels ARE the true fixpoint, which is what cc_fast computes
+  directly, so the cross-engine hashes are unchanged (re-verified
+  this round at sf0.001/0.01/0.1). check_dbscan_fixpoint still runs
+  one extra propagation round over the labels and must report 0.
+  Border points attach to the MIN core-neighbor label
   (the deterministic resolution of DBSCAN's classic border ambiguity).
   All counts are exact integers. The Python twin computes TRUE
   fixpoint components with union-find at test SFs — the bounded-round
@@ -46,12 +49,12 @@ from .catalog_r7h import _GRID, _RADIUS, _coords
 
 _EPS2 = _RADIUS * _RADIUS
 _MIN_PTS = 4  # incl. the point itself
-# 16 (edge + pointer-jump) round PAIRS. Plain 10-round propagation was
-# proven under-converged at sf0.1 by check_dbscan_fixpoint (2068 labels
-# still moving; even 24 plain rounds left 1317). With the jump rounds,
-# measured convergence at sf0.1 is K=14 (K=12: 854 moving); 16 adds two
-# doubling rounds of margin, and the driver-visible fixpoint check goes
-# red if any future scale exceeds it.
+# ORACLE-ONLY since r18: the DuckDB oracle still unrolls 16
+# (edge + pointer-jump) round pairs as chained CTEs; at that depth it is
+# proven converged at every driver SF (r8 measurement: 14 pairs suffice
+# at sf0.1; plain 10-round propagation left 2068 labels moving). The
+# Spark side now computes the exact fixpoint directly (cc_fast), so this
+# constant no longer bounds anything on the engine side.
 _CC_ROUNDS = 16
 
 
@@ -144,49 +147,32 @@ def _propagate_round(edges: DataFrame, lab: DataFrame) -> DataFrame:
     )
 
 
-def _jump_round(lab: DataFrame) -> DataFrame:
-    """Pointer-doubling round: adopt my LABEL'S label. Every label value
-    is itself a core key (the min over keys seen so far), so the lookup
-    is a self-join of the |core|-row label table — cheap next to the
-    edge join, and it contracts label-tree height exponentially."""
-    par = lab.select(F.col("k").alias("pk"), F.col("lab").alias("plab"))
-    return lab.join(par, lab.lab == par.pk, "left_outer").select(
-        "k",
-        F.least(
-            F.col("lab"), F.coalesce(F.col("plab"), F.col("lab"))
-        ).alias("lab"),
-    )
-
-
 def _min_labels(core: DataFrame, edges: DataFrame) -> DataFrame:
-    """K unrolled (edge-propagate + pointer-jump) rounds, label 0 = own
-    key. Plain K-round min-label propagation reaches distance K only —
-    and the r8 fixpoint probe PROVED that insufficient at bench scale
-    (sf0.1: 2068 labels still moving after round 10; the giant eps=25
-    component's diameter far exceeds any fixed K). Interleaving one
-    pointer-doubling round after each edge round gives multiplicative
-    reach: measured convergence at sf0.1 is 14 pairs (plain form: not
-    even 24), K=16 adds margin — and check_dbscan_fixpoint goes red at
-    the driver if any scale ever exceeds it. Lineage is cut every
-    second round pair, LAZILY (r12 A/B at sf0.1, identical hashes):
-    eager cuts cost a scheduler round-trip per call (8 extra jobs →
-    12.4s); lazy cuts defer materialization into the terminal action,
-    which persists each marked RDD on first compute and truncates
-    lineage for any recompute (9.7s). Cadence stays 2 — stretching to
-    every 4 rounds blew planning up 2.5x (28-30s) as the uncut
-    4-round/8-join plan segments compound. In-loop cuts route through
-    ``lineage.materialize`` (r14): still lazy on the local path; with a
-    checkpoint dir they become EAGER reliable checkpoints of the small
-    label table (r15 — a lazy reliable mark pays a 2x doCheckpoint
-    recompute and drops all but the nearest mark of a cadence chain;
-    see lineage.py and the lazy probes in
-    tests/test_lineage_reliable_single_eval.py)."""
-    lab = core.select("k", F.col("k").alias("lab"))
-    for i in range(_CC_ROUNDS):
-        lab = _jump_round(_propagate_round(edges, lab))
-        if i % 2 == 1:
-            lab = materialize(lab, eager=False)
-    return lab
+    """EXACT min-label components of the core graph (r18 optimization:
+    operators.cc_fast — one partition-local union-find pass over the
+    edge list plus a driver-bounded root merge). The r8–r17 form was
+    16 unrolled (edge-propagate + pointer-jump) round pairs ≈ 96 AQE
+    stage-jobs of scheduler latency at sf0.1 (measured ~9s of the
+    entry's ~13s on the r18 host) and, at 100 TB, 16 shuffled joins of
+    the COMPLETE core-edge list. The contraction form touches the edge
+    list once and is exact at every scale, so the bounded-round
+    convergence margin (and its fixpoint risk) disappears entirely —
+    check_dbscan_fixpoint still runs one extra propagation round on
+    these labels and now proves 0 moved labels structurally rather
+    than by measured-K margin. Results are the true fixpoint = the
+    same labels the converged 16-round oracle computes at every
+    driver SF (oracle parity re-proven at sf0.001/0.01/0.1 in r18).
+
+    Isolated cores (no core neighbor within eps) appear in no edge and
+    keep their own key as label, exactly as the propagation form's
+    left-outer joins did."""
+    from ..operators.cc_fast import components_from_edges
+
+    comp = components_from_edges(edges, "ka", "kb")
+    return core.join(comp, core["k"] == comp["id"], "left_outer").select(
+        core["k"].alias("k"),
+        F.coalesce(F.col("component"), core["k"]).alias("lab"),
+    )
 
 
 def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
