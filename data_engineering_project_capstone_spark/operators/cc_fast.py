@@ -157,4 +157,9 @@ def components_from_edges(
                 ),
             )
         )
-    return comp
+    # Labels are two longs per node and every call site consumes them at
+    # least once (several consume them many times: dbscan's border/member
+    # readouts, the session-memoized minhash components) — cut once here
+    # so consumers read a leaf instead of re-running the fold-back joins
+    # and the base-level union-find pass.
+    return materialize(comp, eager=True)

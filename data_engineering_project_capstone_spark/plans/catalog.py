@@ -1646,7 +1646,7 @@ class _SessionMemo(dict):
 
 
 def _minhash_components(spark: SparkSession, sf_dir: str):
-    from ..operators.clusters import connected_components
+    from ..operators.cc_fast import components_from_edges
     from ..operators.dedup import minhash_lsh_pairs
 
     per_session: _SessionMemo | None = getattr(spark, _CC_MEMO_ATTR, None)
@@ -1665,11 +1665,17 @@ def _minhash_components(spark: SparkSession, sf_dir: str):
         # per cold run measured; 2 after). Pairs are id-pair-sized.
         pairs = materialize(minhash_lsh_pairs(docs, threshold=0.3),
                             eager=True)
-        # near-dup graphs are shallow: 4 fixed propagation rounds, no
-        # convergence actions (see connected_components docstring)
-        comps = connected_components(
-            pairs, max_iterations=4, check_convergence=False
-        )
+        # r18: exact contraction CC (operators.cc_fast) — one
+        # partition-local union-find pass over the materialized pair
+        # list instead of 4 fixed (propagate + jump) rounds (each a
+        # full-edge join + label self-join). Same labels: the 4-round
+        # form was proven converged on this graph (union-find twins +
+        # check_cluster_consistency), and cc_fast computes that
+        # fixpoint directly — now guaranteed at every SF, not by
+        # round-budget margin. Edges are undirected inside cc_fast, so
+        # the symmetric union + distinct the propagation form needed
+        # is gone too.
+        comps = components_from_edges(pairs, "id_a", "id_b")
         per_session[sf_dir] = (pairs, comps)
     return per_session[sf_dir]
 

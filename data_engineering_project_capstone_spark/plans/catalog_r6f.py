@@ -423,7 +423,7 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fact keys); the name↔hash mapping joins back after. A 64-bit
     collision over a distinct-name domain is ~n²/2⁶⁵ — and would only
     merge two clusters, never crash."""
-    from ..operators.clusters import connected_components
+    from ..operators.cc_fast import components_from_edges
     from ..operators.lineage import materialize
 
     # Materialize the pair list ONCE (r13 eval census, scripts/
@@ -437,9 +437,12 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("name_a").alias("name_a"),
         F.xxhash64("name_b").alias("name_b"),
     )
-    comp = connected_components(
-        hashed, id_a="name_a", id_b="name_b", max_iterations=6
-    )
+    # r18: exact contraction CC (operators.cc_fast) replaces the
+    # 6-round budgeted propagation — the probe-confirmed converged
+    # labels are the true fixpoint, which cc_fast computes directly in
+    # one pass over the pair list (and without the symmetric-union
+    # edge checkpoint or the label-sum probe collects).
+    comp = components_from_edges(hashed, "name_a", "name_b")
     names = (
         pairs.select(F.col("name_a").alias("name"))
         .union(pairs.select("name_b"))
