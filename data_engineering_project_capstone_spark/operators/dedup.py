@@ -537,6 +537,19 @@ def embedding_dup_pairs(
         F.col("v").alias("v_b"),
         F.col("vn").alias("n_b"),
     )
+    # r18: the bench corpus arrives as a single parquet split (one row
+    # group) and the build side of the block join broadcasts, so the
+    # whole scan → join → pairwise-fold pipeline fused into ONE task at
+    # sf0.1 — ~1.6s of interpreted 64-d dot folds on one core with 31
+    # idle. Re-spread the PROBE side only (corpus-linear id+vector+norm
+    # rows) across the session parallelism: measured 1.61s → 0.56s for
+    # the fold stage. The build side is deliberately NOT repartitioned —
+    # hanging its broadcast off the exchange serializes the build behind
+    # the shuffle and measured SLOWER than the 1-task baseline. Guide
+    # §2.5's unsplittable-input remedy; with healthy scan parallelism
+    # the extra narrow pass is corpus-linear. Row placement does not
+    # affect results (same pair set, same per-pair arithmetic).
+    a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = (a.join(b, join_keys) if join_keys else a.crossJoin(b)).filter(
         F.col("id_a") < F.col("id_b")
     )

@@ -1535,9 +1535,15 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two sides stay deterministic and comparable. Without it a single
     pathological shared shingle makes the block quadratic at 100 TB."""
     max_bucket = 1000
-    docs = t(spark, sf_dir, "documents")
     from ..operators.dedup import shingles_from_tokens
+    from ..operators.layout import spread_scan
     from ..operators.text import tokens
+
+    # r18: the tokenize + shingle + md5/xxhash pipeline fuses into the
+    # scan stage, which is ONE task on the single-row-group bench file
+    # (measured 3.6s on one core) — spread the scan first (no-op on
+    # healthy layouts; see operators/layout.py)
+    docs = spread_scan(t(spark, sf_dir, "documents"))
 
     sh = (
         docs.select(

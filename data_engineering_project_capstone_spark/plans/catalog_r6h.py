@@ -58,7 +58,8 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate buckets stay small exactly where a naive shared-shingle
     join blows up (a stopword shingle shared by every doc lands in
     nobody's prefix once s is large). The verify stage re-joins the
-    full sorted arrays and intersects hash-free; the θ test is
+    full sorted arrays and intersects them (xxhash64-hashed since r18 —
+    sizes are hash-invariant); the θ test is
     ``5·inter ≥ 3·union`` in integers, so both engines make identical
     keep/drop decisions. Length filter ``5·min(sa,sb) ≥ 3·max(sa,sb)``
     prunes candidates before the distinct.
@@ -74,11 +75,30 @@ def simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-deriving was measured at ~2× the whole entry). Verification
     intersects the rarity-SORTED arrays directly — intersection size is
     order-independent, so no second canonical-order array is needed."""
+    # r18: hash each shingle to int64 AT the explode — every downstream
+    # stage (the frequency groupBy, the rarity sort, the prefix
+    # candidate join and the verify intersect) then moves and compares
+    # 8-byte longs instead of ~20-char strings (verify stage measured
+    # 11.7s → 2.2s task time at sf0.1). The prefix-filter guarantee
+    # ("every θ-pair shares a prefix shingle") holds for ANY consistent
+    # global rarity order, so re-ordering hash ties cannot change the
+    # verified pair set, and intersection/union SIZES are
+    # hash-invariant — the same xxhash64 trade dedup_jaccard_pairs
+    # documents (a 64-bit in-pair collision is ~s²/2⁶⁴ and would only
+    # nudge one jaccard value; the string-exact oracle differential
+    # guards it). NOTE: no spread_scan here — the tokenize hangs below
+    # the reused hashpartitioning(s3) exchange, and inserting a
+    # round-robin exchange under it broke the reuse (tokenize ran once
+    # per branch, measured 2× the stage CPU).
     docs = t(spark, sf_dir, "documents")
-    tk = docs.select(
-        F.col("doc_id").alias("id"),
-        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
-    ).select("id", F.explode(shingles_from_tokens("_toks", 3)).alias("s3"))
+    tk = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_toks"),
+        )
+        .select("id", F.explode(shingles_from_tokens("_toks", 3)).alias("_s3"))
+        .select("id", F.xxhash64("_s3").alias("s3"))
+    )
     dfr = tk.groupBy("s3").agg(F.count("*").alias("dfc"))
     ordered = (
         tk.join(dfr, "s3")

@@ -674,18 +674,25 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    per_os = per_os.localCheckpoint()  # feeds the rollup AND the probe
-    per_order = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    # r18: the per-order rollup is a WINDOW over the same rows, not a
+    # second aggregate + semi-join. The previous shape localCheckpointed
+    # per_os (the ~594k-row table was written once and re-read by both
+    # the rollup and the probe side — two 52 MB block-manager passes at
+    # sf0.1) and then shuffled both sides of a LeftSemi. One window
+    # partitioned by l_orderkey computes n_supp/n_late in a single pass
+    # with identical semantics (count/sum over exactly the per_os rows
+    # of the order), so the checkpoint, its double read, and the
+    # semi-join all disappear.
+    from pyspark.sql import Window
+
+    per_order = Window.partitionBy("l_orderkey")
     return (
-        per_os.filter(F.col("late") == 1)
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-            ),
-            F.col("l_orderkey") == F.col("ok"),
-            "left_semi",
+        per_os.withColumn("n_supp", F.count("*").over(per_order))
+        .withColumn("n_late", F.sum("late").over(per_order))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
         )
         .join(
             t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),

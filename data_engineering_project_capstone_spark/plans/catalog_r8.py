@@ -176,9 +176,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC NULLS LAST, name, part, suppkey) so the kept set is unique
     even under duplicate names / NULL balances."""
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    # r18 (guide §3.2): the final join keeps only parts of _Q2_TYPE
+    # (16.6% of parts in this data), so drop non-matching fact rows
+    # BEFORE the (pk, sk) aggregate with a semi-join against the
+    # type-filtered part keys — the agg exchange and the per-part
+    # window downstream shrink ~6×, and per-(pk,sk) minima are
+    # untouched for every surviving part (whole groups drop, never
+    # single rows). The slice is dim-sized and filter-pruned; its join
+    # strategy is left to statistics + AQE like the main part join.
+    small_parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q2_TYPE)
+        .select("p_partkey")
+    )
     ps = (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") > 0)
+        .join(
+            small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
         .groupBy(
             F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
         )
