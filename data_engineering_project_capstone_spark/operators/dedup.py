@@ -194,7 +194,12 @@ def minhash_signatures(
     the shingle array k times per row. Exploding costs one shuffle on the
     doc id and keeps every aggregate a flat column op.
     """
-    sh = df.select(
+    from .layout import spread_scan
+
+    # r18: spread a single-split scan first — the tokenize + shingle +
+    # hash work below otherwise fuses into a one-task scan stage on the
+    # bench layout (operators/layout.py; no-op on healthy layouts).
+    sh = spread_scan(df).select(
         F.col(id_col).alias("id"),
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     ).select(
@@ -210,16 +215,26 @@ def minhash_signatures(
         ).alias("sh"),
     )
     ex = sh.select("id", F.explode("sh").alias("s"))
+    # r18: the groupBy reconstructs the per-doc shingle SET alongside the
+    # k min() aggregates, so the old `sh ⋈ sig` re-attach join — whose
+    # probe side re-ran the whole tokenize+shingle pipeline a second
+    # time per cold evaluation (no cross-branch CSE) — is gone. Shingle
+    # order out of collect_set is nondeterministic, which is immaterial:
+    # every consumer reads `sh` through array_intersect/size (set
+    # semantics; the entry outputs and their oracle hashes are
+    # order-free).
     sig = ex.groupBy("id").agg(
+        F.collect_set("s").alias("sh"),
         *[
             F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
-        ]
+        ],
     )
-    sig = sig.select(
-        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    return sig.select(
+        "id",
+        "sh",
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    return sh.join(sig, "id")
 
 
 def minhash_lsh_pairs(
@@ -328,8 +343,12 @@ def simhash_signatures(
     not a 60-deep nested-aggregate expression. 60 bits keeps the numeric
     fold inside signed-long range.
     """
+    from .layout import spread_scan
+
     ex = (
-        df.select(
+        # r18: spread a single-split scan so the tokenize/explode below
+        # runs at session parallelism (no-op on healthy layouts)
+        spread_scan(df).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
