@@ -58,10 +58,11 @@ PINNED: dict[str, list[str]] = {
         "conf = conf.localCheckpoint() # 3 consumers of a |langs|²-row table",
         "daily = daily.localCheckpoint() # feeds stats + both join sides",
     ],
-    # one-shot: per-part agg + probe side; per-(order,supp) rollup + probe
+    # one-shot: per-part agg + probe side (r18: q21's per_os cut removed
+    # — the rollup became window aggregates over the same rows, so
+    # per_os has a single consumer and needs no cut)
     "plans/catalog_r7b.py": [
         "li = li.localCheckpoint() # feeds the per-part agg AND the probe side",
-        "per_os = per_os.localCheckpoint() # feeds the rollup AND the probe",
     ],
     # one-shot: value panels feeding histogram + the phase-2 probe
     # (two entries, same shape)
@@ -98,6 +99,10 @@ PINNED: dict[str, list[str]] = {
     "plans/catalog_r6h.py": [
         "dir_e = dir_e.localCheckpoint()",
         "e = e.localCheckpoint()",
+        # r18: one-shot multi-consumer cut — the per-edge witness arrays
+        # feed the 3-way per_node union (and the t_e filter would
+        # otherwise re-evaluate the intersect in the join condition)
+        "per_edge = per_edge.localCheckpoint()",
     ],
     # one-shot: per-part agg (total + probe), per-(part,supp) rollup
     # (rollup + probe)
