@@ -245,12 +245,17 @@ def _triangle_oriented_adj(spark: SparkSession, sf_dir: str):
     # re-derives the pair join per consumer (measured 13.9s vs 6.1s at
     # sf0.1) — cut the lineage once, as core_peel does.
     e = e.localCheckpoint()
+    # r18: deg is node-count-sized but its map side reads the e
+    # checkpoint TWICE (the symmetric union), and it has three
+    # consumers (both orientation sides + the readout join) — the
+    # readout's copy was measured re-running the whole 2×|e| union agg.
+    # One more one-shot cut: consumers read ~20k rows instead.
     deg = (
         e.select(F.col("pa").alias("v"))
         .unionAll(e.select(F.col("pb").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
-    )
+    ).localCheckpoint()
     dega = deg.select(F.col("v").alias("pa"), F.col("d").alias("da"))
     degb = deg.select(F.col("v").alias("pb"), F.col("d").alias("db"))
     lower_first = (F.col("da") < F.col("db")) | (
@@ -264,12 +269,26 @@ def _triangle_oriented_adj(spark: SparkSession, sf_dir: str):
             F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         )
     )
-    # dir_e feeds adj plus both sides of the per-edge join — same
-    # 3-consumer shape as e; one more lineage cut.
-    dir_e = dir_e.localCheckpoint()
+    # r18: cut at ADJ, not at dir_e. The edge list and the adjacency
+    # carry the same information, but a checkpointed 1.2M-row dir_e is
+    # ~190 MB of row objects that its three consumers (both adjacency
+    # builds + the per-edge stream) each re-read in full (measured);
+    # the grouped adjacency is ~20k array rows (~15 MB). So materialize
+    # adj once and REGENERATE the directed edge stream by exploding it
+    # — identical (src, dst) set, 12× fewer bytes per consumer read,
+    # one fewer checkpoint.
     adj = (
         dir_e.groupBy(F.col("src").alias("v"))
         .agg(F.sort_array(F.collect_list("dst")).alias("outs"))
+    ).localCheckpoint()
+    from ..operators.layout import spread_scan
+
+    # the re-exploded stream inherits the checkpoint's few partitions at
+    # bench scale, starving the downstream per-edge intersect of cores —
+    # spread it (no-op when adj already has ≥ default-parallelism
+    # partitions, as any at-scale layout does)
+    dir_e = spread_scan(
+        adj.select(F.col("v").alias("src"), F.explode("outs").alias("dst"))
     )
     return e, deg, dir_e, adj
 
@@ -323,26 +342,26 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_intersect("outs_s", "outs_d").alias("wit"),
         )
     )
-    # One-shot multi-consumer cut (r18): the 3-way per_node union below
-    # re-derived this whole pipeline per branch (no cross-branch CSE),
-    # and the collapsed filter evaluated the intersect a second time in
-    # the join condition — six evaluations of the ~166M-element
-    # intersect workload per run (measured 8.6s -> 3.4s at sf0.1 with
-    # the cut). Cutting BEFORE the t_e filter keeps the intersect
-    # evaluated exactly once per row; the materialized rows are
-    # edge-count-sized with triangle-count-sized arrays.
-    per_edge = per_edge.localCheckpoint()
-    per_edge = per_edge.select(
-        "src", "dst", "wit", F.size("wit").alias("t_e")
-    ).filter(F.col("t_e") > 0)
+    # r18: per-node credits from the exploded WITNESS rows alone. The
+    # old shape unioned three per_edge readers ((src, t_e), (dst, t_e),
+    # (witness, 1)) — each branch re-derived the join+intersect pipeline
+    # (no cross-branch CSE; the collapsed t_e filter even re-evaluated
+    # the intersect inside the join condition), and a lineage cut that
+    # fixed the re-derivation materialized 1.2M witness-array rows that
+    # every branch then re-read (~190 MB of block reads per branch,
+    # measured). Observation: t_e IS the number of witness rows of the
+    # edge, so one row per (edge, witness) crediting src, dst and the
+    # witness once each reproduces the exact same per-node sums —
+    # corner credit src += t_e and dst += t_e arrives as t_e unit
+    # credits. One pass, one explode (empty intersections vanish, which
+    # was the old t_e > 0 filter), one triangle-count-sized exchange,
+    # no checkpoint, intersect evaluated exactly once per edge
+    # (single reference inside the generator input).
+    corners = per_edge.select("src", "dst", F.explode("wit").alias("c"))
     per_node = (
-        per_edge.select(F.col("src").alias("v"), F.col("t_e").alias("c"))
-        .unionAll(per_edge.select(F.col("dst").alias("v"), F.col("t_e").alias("c")))
-        .unionAll(
-            per_edge.select(F.explode("wit").alias("v"), F.lit(1).alias("c"))
-        )
+        corners.select(F.explode(F.array("src", "dst", "c")).alias("v"))
         .groupBy("v")
-        .agg(F.sum("c").cast("long").alias("tri"))
+        .agg(F.count("*").cast("long").alias("tri"))
     )
     return (
         per_node.join(deg, "v")
