@@ -4044,8 +4044,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: flag corpus docs sharing any word 5-gram
     with the benchmark partition (source='src0' stands in for the eval
     set). Gram explosion is a flatMap (no shuffle); the gram-equality join
-    is the shuffle. At 100 TB: join on xxhash64(gram) instead of the
-    string (8-byte shuffle keys) and distinct the benchmark grams; in
+    is the shuffle — since r18 it runs on xxhash64(gram): 8-byte keys
+    instead of ~30-char strings through the join, the dedup aggregate
+    and count_distinct. Shared-gram COUNTS are hash-invariant (the
+    engine-wide xxhash64 trade dedup_jaccard_pairs documents) and the
+    string-exact oracle differential guards the equality. Benchmark
+    grams are distinct'd; in
     production eval sets are tiny next to the corpus, so AQE/stats
     broadcast the distinct gram set and the check becomes a map-side
     semi-join. The hint is NOT forced here: in this data model 'src0'
@@ -4061,7 +4065,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.explode(
-                F.expr("transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))")
+                F.expr(
+                    "transform(sequence(1, size(w) - 4),"
+                    " i -> xxhash64(array_join(slice(w, i, 5), ' ')))"
+                )
             ).alias("g"),
         )
     )
