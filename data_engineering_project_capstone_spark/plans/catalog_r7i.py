@@ -189,25 +189,34 @@ def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ka")
         .agg(F.min("lab").alias("lab"))
     )
-    members = lab.select("k", "lab").union(
-        border.select(F.col("ka").alias("k"), "lab")
+    # r18: ONE rollup over the flagged member list replaces the four
+    # crossJoined scalar aggregates (n_core/n_border/n_clusters/max —
+    # each was its own AQE stage-job): lab covers exactly the core set
+    # and border exactly the border set, so per-cluster core counts fall
+    # out of the same groupBy that sizes the clusters. Only n_points
+    # still needs its own (different-table) aggregate.
+    members = lab.select("lab", F.lit(1).alias("is_core")).union(
+        border.select("lab", F.lit(0).alias("is_core"))
     )
-    sizes = members.groupBy("lab").agg(F.count("*").alias("sz"))
+    sizes = members.groupBy("lab").agg(
+        F.count("*").alias("sz"), F.sum("is_core").alias("n_core_in")
+    )
+    stats = sizes.agg(
+        F.count("*").alias("n_clusters"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster"),
+        F.coalesce(F.sum("n_core_in"), F.lit(0)).alias("n_core"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_members"),
+    )
     return (
         pts.agg(F.count("*").alias("n_points"))
-        .crossJoin(core.agg(F.count("*").alias("n_core")))
-        .crossJoin(border.agg(F.count("*").alias("n_border")))
-        .crossJoin(
-            sizes.agg(
-                F.count("*").alias("n_clusters"),
-                F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster"),
-            )
-        )
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col("n_points").cast("long").alias("n_points"),
             F.col("n_core").cast("long").alias("n_core"),
-            F.col("n_border").cast("long").alias("n_border"),
-            (F.col("n_points") - F.col("n_core") - F.col("n_border"))
+            (F.col("n_members") - F.col("n_core"))
+            .cast("long")
+            .alias("n_border"),
+            (F.col("n_points") - F.col("n_members"))
             .cast("long")
             .alias("n_noise"),
             F.col("n_clusters").cast("long").alias("n_clusters"),
@@ -308,23 +317,34 @@ def knn_graph_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pairs.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= _KNN_K
     )
-    top = materialize(top)  # histogram + 1-NN sum consumers
-    found = top.groupBy("ka").agg(F.count("*").alias("nf"))
+    # r18: ONE aggregation pass over `top` computes the slot count AND
+    # the per-point 1-NN distance (every ka in top has exactly one
+    # r == 1 row), so the old second read of a materialized `top` for
+    # the global 1-NN sum — plus its lineage cut and the broadcast
+    # crossJoin — disappears; `top` now has a single consumer and needs
+    # no cut. The global sum folds over the histogram itself (≤ k+1
+    # rows by construction, so the single-partition window is scale-free).
+    found = top.groupBy("ka").agg(
+        F.count("*").alias("nf"),
+        F.sum(F.when(F.col("r") == 1, F.col("d2"))).alias("d1"),
+    )
     hist = (
         pts.join(found, pts.k == found.ka, "left_outer")
-        .select(F.coalesce(F.col("nf"), F.lit(0)).alias("neighbors_found"))
-        .groupBy("neighbors_found")
-        .agg(F.count("*").alias("n_points"))
-    )
-    nn1 = top.filter(F.col("r") == 1).agg(
-        F.coalesce(F.sum("d2"), F.lit(0)).cast("long").alias("s")
-    )
-    return (
-        hist.crossJoin(F.broadcast(nn1))
         .select(
+            F.coalesce(F.col("nf"), F.lit(0)).alias("neighbors_found"),
+            F.col("d1"),
+        )
+        .groupBy("neighbors_found")
+        .agg(F.count("*").alias("n_points"), F.sum("d1").alias("_sd1"))
+    )
+    total = Window.partitionBy()
+    return (
+        hist.select(
             F.col("neighbors_found").cast("long").alias("neighbors_found"),
             F.col("n_points").cast("long").alias("n_points"),
-            F.col("s").alias("sum_nn1_d2"),
+            F.coalesce(F.sum("_sd1").over(total), F.lit(0))
+            .cast("long")
+            .alias("sum_nn1_d2"),
         )
         .orderBy("neighbors_found")
     )
