@@ -565,10 +565,14 @@ def embedding_dup_pairs(
     # the fold stage. The build side is deliberately NOT repartitioned —
     # hanging its broadcast off the exchange serializes the build behind
     # the shuffle and measured SLOWER than the 1-task baseline. Guide
-    # §2.5's unsplittable-input remedy; with healthy scan parallelism
-    # the extra narrow pass is corpus-linear. Row placement does not
-    # affect results (same pair set, same per-pair arithmetic).
-    a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # §2.5's unsplittable-input remedy, gated through spread_scan
+    # (r19): the re-spread fires ONLY when the probe layout is below
+    # session parallelism — on a healthy many-partition layout at scale
+    # it is an exact no-op, never a coalescing exchange. Row placement
+    # does not affect results (same pair set, same per-pair arithmetic).
+    from .layout import spread_scan
+
+    a = spread_scan(a)
     pairs = (a.join(b, join_keys) if join_keys else a.crossJoin(b)).filter(
         F.col("id_a") < F.col("id_b")
     )

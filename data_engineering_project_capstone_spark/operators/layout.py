@@ -19,6 +19,13 @@ every core for the downstream per-row work.
 
 Call it AFTER any scan-pushable filters (a repartition would otherwise
 block predicate pushdown) and BEFORE the heavy per-row compute.
+
+Intended for scan-adjacent or checkpoint-leaf frames only (its call
+sites): ``df.rdd.getNumPartitions()`` compiles the physical plan on
+each call and, on shuffle-fed inputs, reports the static pre-AQE
+shuffle partition count rather than the runtime-coalesced one — the
+guard would then be conservative (silent no-op) rather than wrong, but
+the probe cost is only justified next to a leaf.
 """
 
 from __future__ import annotations

@@ -257,8 +257,10 @@ PINNED: dict[str, list[str]] = {
     "plans/catalog_r7h.py": [
         'F.broadcast(bins)) # months × bins, both tiny',
     ],
-    # per-point nn1 (bounded candidate agg)
-    "plans/catalog_r7i.py": ['F.broadcast(nn1))'],
+    # 1-row dbscan readout stats (global scalar aggregate of cluster
+    # sizes — never SF-scaling; re-audited r19 after the r18 readout
+    # fusion moved the broadcast from nn1 to stats)
+    "plans/catalog_r7i.py": ['F.broadcast(stats))'],
     # per-nation (25) train/quantile aggs
     "plans/catalog_r7j.py": [
         'F.broadcast(per_g), per_gf.g == per_g.g2)',
