@@ -50,12 +50,26 @@ def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalar, and the final per-source sum is a sources-sized
     shuffle. Survives 1000 executors because nothing after the first
     combine is proportional to corpus size.
+
+    r19: src_cnt is CUT (one-shot localCheckpoint at the compact
+    sources×vocab representation) — its four consumers (src_tot,
+    corp_cnt, the scalar total, the readout join) prune it differently,
+    so the optimizer specializes the subtree per consumer and
+    ReusedExchange stops deduping the corpus explode: measured 4
+    documents scans per run (plan census). The input is spread before
+    the tokenize (single-row-group bench layout; no-op at scale).
     """
+    from ..operators.layout import spread_scan
+
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(_toks()).alias("tok")).filter(
-        F.col("tok") != ""
+    tok = (
+        spread_scan(docs.select("source", "text"))
+        .select("source", F.explode(_toks()).alias("tok"))
+        .filter(F.col("tok") != "")
     )
-    src_cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    src_cnt = tok.groupBy("source", "tok").agg(
+        F.count("*").alias("c_st")
+    ).localCheckpoint()  # one-shot: 4 consumers of the sources-x-vocab table
     src_tot = src_cnt.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     corp_cnt = src_cnt.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     n_total = corp_cnt.agg(F.sum("c_t").alias("n")).select("n")
@@ -140,6 +154,16 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     must fit in memory — millions of rows, comfortably broadcastable;
     a trillion-token vocab would swap the broadcast for a shuffle join
     without changing semantics.
+
+    r19: cnt is CUT (one-shot localCheckpoint at the vocab-sized
+    representation) — tot and ratio prune it differently, so without
+    the cut each re-derives the whole corpus explode+count (3 documents
+    scans per run measured; interleaved A/B min 0.875s cut vs 0.93s
+    old). The two remaining corpus passes (count pass, scoring pass)
+    are the operator's fundamental shape. spread_scan was MEASURED and
+    REJECTED here (interleaved min 1.36s): tok feeds two
+    differently-pruned consumers, so the round-robin exchange
+    duplicates instead of reusing — the simjoin_prefix r18 lesson.
     """
     docs = t(spark, sf_dir, "documents")
     # eqNullSafe: a NULL lang is NOT the target (the SQL CASE yields 0).
@@ -154,7 +178,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = tok.groupBy("tok").agg(
         F.count("*").alias("c_raw"),
         F.sum(F.col("is_target").cast("long")).alias("c_tgt"),
-    )
+    ).localCheckpoint()  # one-shot: tot + ratio consumers of the vocab table
     tot = cnt.agg(
         F.sum("c_raw").alias("n_raw"),
         F.sum("c_tgt").alias("n_tgt"),

@@ -143,9 +143,22 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SALT_N (measured 5× on this query at sf0.1), while replicating
     only the hot-key dim rows costs _SALT_N × |hot keys|, which is tiny
     by definition of skew. The hot-key list is a count-aggregate on the
-    fact (map-side combined) and broadcasts into both branch filters.
-    The salt is md5-derived (content-addressed), not rand(): retried
-    tasks re-salt rows identically, so retries can't double-count."""
+    fact (map-side combined) and broadcasts into both sides' salt
+    columns. The salt is md5-derived (content-addressed), not rand():
+    retried tasks re-salt rows identically, so retries can't
+    double-count.
+
+    r19 single-join form (same differential technique, fewer passes):
+    instead of splitting fact and dim into hot/cold branches and
+    unioning two joins — which scanned the fact THREE times (hot list,
+    hot branch, cold branch) and the dim twice — the hot-list broadcast
+    now drives a salt COLUMN on each side: fact rows of hot keys salt
+    md5%N, cold rows salt 0; dim rows of hot keys explode across all N
+    salts, cold rows keep the single salt-0 copy. ONE equi-join on
+    (key, salt) then produces exactly the old union's row multiset (a
+    hot pair matches at precisely its fact salt replica; a cold pair
+    at salt 0), with hot keys spread over N shuffle partitions as
+    before. 7 scans → 2 in the plan; the oracle stays the PLAIN join."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     hot = (
@@ -155,17 +168,6 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HOT_TOP_K)
         .select(F.col("l_orderkey").alias("_hot_key"))
     )
-    fact_hot = li.join(
-        F.broadcast(hot), li["l_orderkey"] == hot["_hot_key"]
-    ).drop("_hot_key")
-    fact_cold = li.join(
-        F.broadcast(hot),
-        li["l_orderkey"] == hot["_hot_key"],
-        "left_anti",
-    )
-    dim_hot = orders.join(
-        F.broadcast(hot), orders["o_orderkey"] == hot["_hot_key"]
-    ).drop("_hot_key")
     salt_f = (
         F.conv(
             F.substring(
@@ -182,22 +184,44 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _SALT_N
     )
-    dim_salted = dim_hot.withColumn(
-        "_salt",
-        F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1)).cast("array<long>")),
+    fact_salted = (
+        li.join(
+            F.broadcast(hot), li["l_orderkey"] == hot["_hot_key"], "left"
+        )
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hot_key").isNotNull(), salt_f).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .drop("_hot_key")
     )
-    fact_salted = fact_hot.withColumn("_salt", salt_f)
-    hot_joined = fact_salted.join(
+    dim_salted = (
+        orders.join(
+            F.broadcast(hot),
+            orders["o_orderkey"] == hot["_hot_key"],
+            "left",
+        )
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot_key").isNotNull(),
+                    F.sequence(
+                        F.lit(0), F.lit(_SALT_N - 1)
+                    ).cast("array<long>"),
+                ).otherwise(F.array(F.lit(0).cast("long")))
+            ),
+        )
+        .drop("_hot_key")
+    )
+    joined = fact_salted.join(
         dim_salted,
         (fact_salted["l_orderkey"] == dim_salted["o_orderkey"])
         & (fact_salted["_salt"] == dim_salted["_salt"]),
     ).select("o_orderpriority", "l_extendedprice", "l_discount")
-    cold_joined = fact_cold.join(
-        orders, fact_cold["l_orderkey"] == orders["o_orderkey"]
-    ).select("o_orderpriority", "l_extendedprice", "l_discount")
     return (
-        hot_joined.union(cold_joined)
-        .groupBy("o_orderpriority")
+        joined.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
             # exact revenue-unit fold (q1 idiom, r12 fold discipline):

@@ -118,9 +118,11 @@ PINNED: dict[str, list[str]] = {
     # limit-K hot keys, per-lang/per-source totals (enum domains)
     "plans/catalog_r6d.py": [
         'F.broadcast(col_tot), "lang")',
+        # hot is top-K by count (K=100, bounded regardless of SF);
+        # r19 single-join salting marks both sides via LEFT joins
+        # against the same bounded list
         'F.broadcast(hot),',
-        'F.broadcast(hot), li["l_orderkey"] == hot["_hot_key"]',
-        'F.broadcast(hot), orders["o_orderkey"] == hot["_hot_key"]',
+        'F.broadcast(hot), li["l_orderkey"] == hot["_hot_key"], "left"',
         'F.broadcast(n))',
         'F.broadcast(row_tot), "source")',
     ],

@@ -52,6 +52,19 @@ PINNED: dict[str, list[str]] = {
         "return df.checkpoint(eager=True)",
         "return df.localCheckpoint(eager=eager)",
     ],
+    # one-shot (r19): token_bigram_pmi's (w1,w2) pair-count table — the
+    # bigram/unigram/total consumers' pushed grouping-key filters
+    # otherwise specialize the corpus subtree per consumer (4 scans)
+    "plans/catalog_r5.py": [
+        ").localCheckpoint() # one-shot: 4 consumers of the vocab-pair table",
+    ],
+    # one-shot (r19): kl_source_drift's sources×vocab counts and
+    # dsir_importance's vocab counts — same pruning-specialization
+    # disease, same compact-representation cut
+    "plans/catalog_r6.py": [
+        ").localCheckpoint() # one-shot: 4 consumers of the sources-x-vocab table",
+        ").localCheckpoint() # one-shot: tot + ratio consumers of the vocab table",
+    ],
     # one-shot: |langs|²-row confusion table (3 consumers), daily agg
     # feeding stats + both join sides
     "plans/catalog_r7.py": [

@@ -354,10 +354,11 @@ def test_cms_readout_broadcasts_sketch(spark):
 
 
 def test_salted_join_broadcasts_hot_list(spark):
-    """skew_salted_join's hot-key list and both hot-branch filters must
-    be broadcast joins; the plan must contain no cartesian shapes."""
+    """skew_salted_join's hot-key markers (the r19 single-join form
+    LEFT-joins the bounded hot list onto both sides to derive the salt
+    columns) must be broadcast joins; no cartesian shapes."""
     plan = plan_of(spark, "skew_salted_join")
-    assert plan.count("BroadcastHashJoin") >= 2  # hot filter + anti join
+    assert plan.count("BroadcastHashJoin") >= 2  # fact + dim hot markers
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
