@@ -322,7 +322,23 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the opposite of the 100 TB posture. AQE's runtime shuffle→broadcast
     conversion picks up the win automatically on clusters where the
     adjacency side lands under the threshold; sf0.1's ~15 MB is just
-    over the 10 MB default, which is the correct call to leave alone."""
+    over the 10 MB default, which is the correct call to leave alone.
+
+    r19 leave-alone verdict on the residual intersect (the r18 ledger's
+    "biggest single compute left", ~132M element-ops): three rewrites
+    were built, proven result-identical on the full per_node output,
+    and all MEASURED SLOWER in one interleaved session (warm noop-sink
+    reps, corners→per_node subplan): JVM array_intersect (this code)
+    1.17–1.28s · mapInArrow batched merge-intersect (pandas merge on
+    the flattened (row, value) streams — guide §4.2) 9.4–10.4s, the
+    Arrow boundary ships all 132M array elements · dir_e⋈dir_e⋈dir_e
+    path-join (a→b→c then probe (a,c); no arrays at all) 7.8–8.0s, the
+    49.2M-row path table pays a full sort-merge exchange. The
+    hash-per-row JVM intersect on arrays that ride one exchange is the
+    measured optimum; skeleton variants (serialized checkpoint storage
+    for e/adj; deg from one explode instead of the 2-read union) also
+    measured flat-to-worse (interleaved mins 4.67s current vs 5.47s
+    serialized) and are left alone."""
     e, deg, dir_e, adj = _triangle_oriented_adj(spark, sf_dir)
     sa = adj.select(F.col("v").alias("src"), F.col("outs").alias("outs_s"))
     sb = adj.select(F.col("v").alias("dst"), F.col("outs").alias("outs_d"))
