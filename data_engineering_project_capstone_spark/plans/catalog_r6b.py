@@ -574,13 +574,18 @@ def boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_boiler"))
     )
-    # per-row expression, NOT a third corpus explode: the window count
-    # of a doc is the length of its starts range by construction
-    n_wins = tok.select(
-        "doc_id",
-        F.when(F.size("toks") >= _BW, F.size("toks") - F.lit(_BW - 1))
-        .otherwise(F.lit(0))
-        .alias("n_windows"),
+    # per-row expression + doc-keyed SUM, not a third corpus explode:
+    # a physical row's window count is the length of its starts range
+    # by construction, and summing per doc_id reproduces the old
+    # count-of-exploded-rows exactly under duplicate-id corpora (k
+    # copies of a doc contribute k x windows-per-copy, and the ledger
+    # join stays one row per id — the per-row form without the groupBy
+    # fanned the readout join out k x k; caught by the alldup net)
+    n_wins = tok.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.size("toks") >= _BW, F.size("toks") - F.lit(_BW - 1))
+            .otherwise(F.lit(0))
+        ).alias("n_windows")
     )
     return (
         docs.select("doc_id", "source")
