@@ -137,18 +137,7 @@ def dup_passage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are already array_distinct per row, so pre-shuffle
     duplicates exist only where ids are actually duplicated.
     """
-    from ..operators.layout import spread_scan
-
-    # r19: spread after the pushable filter, before the tokenize (the
-    # single-row-group bench layout otherwise runs tokenize+shingle on
-    # one core; exactly one consumer below the distinct, so the
-    # round-robin exchange cannot duplicate; no-op at scale). Measured
-    # interleaved: 1.61 -> 1.38s.
-    docs = spread_scan(
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull())
-        .select("doc_id", "text")
-    )
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     # materialize the token array ONCE: referencing the split inside the
     # transform lambda re-evaluates it per element (O(tokens²) per doc)
     tok = docs.select("doc_id", _toks().alias("toks"))
@@ -208,63 +197,41 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining for tokenizer/vocab construction. PMI =
     ln(c_xy · N / (c_x · c_y)) with N = total unigram count.
 
-    Scale (r19 single-pass form): ONE explode emits every token as
-    (w1 = toks[i], w2 = toks[i+1] or NULL at the doc tail), and ONE
-    map-side-combined groupBy (w1, w2) produces the pair-count table B.
-    Unigram counts fall out of B exactly — every occurrence of a token
-    is w1 of exactly one emitted row (the tail occurrence pairs with
-    NULL) — so c_x = Σ_w2 B(x, w2), bigram counts are the non-NULL-w2
-    rows of B, and N re-aggregates the same table. The previous shape
-    re-derived the tokenize per consumer: 4 scans + 4 explodes of
-    documents per run (u1, u2, N and the bigram branch each re-planned
-    the corpus subtree; plan census r19). Now every consumer hangs off
-    the ONE (w1, w2) exchange (ReusedExchange), and the extra shuffle
-    rows vs the old bigram shuffle are exactly one (token, NULL) group
-    per distinct doc-tail token — vocab-bounded, not corpus-bounded.
-    Top-k is orderBy+limit = per-partition heaps, no global window.
+    Scale: one unigram-count shuffle + one bigram-count shuffle, both
+    map-side combined to vocab-sized outputs; unigram table broadcast
+    twice onto the bigram counts (vocab ≪ corpus). Top-k is
+    orderBy+limit = per-partition heaps, no global window.
     """
-    from ..operators.layout import spread_scan
-
     docs = t(spark, sf_dir, "documents")
-    # token array materialized once (see dup_passage_docs note);
-    # spread_scan: single-row-group inputs otherwise tokenize+combine
-    # on one core (no-op at scale, §2.5)
-    tok = spread_scan(docs.select("text")).select(_toks().alias("toks"))
-    # try_element_at, not element_at: ANSI mode (default in Spark 4)
-    # makes element_at THROW on out-of-bounds, and i = size(toks) probes
-    # toks[size+1]. try_element_at returns NULL there — the doc-tail
-    # (token, NULL) row that carries the unigram count; the w2 <> ''
-    # bigram filter drops it, exactly like the DuckDB twin (toks[i+1]
-    # out of range is NULL in DuckDB).
-    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)))
+    # token array materialized once (see dup_passage_docs note)
+    tok = docs.select(_toks().alias("toks"))
+    uni = (
+        tok.select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    n_total = uni.agg(F.sum("c_tok").alias("n")).select("n")
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(1), F.lit(1)))
+    # try_element_at, not element_at: ANSI mode (default in Spark 4) makes
+    # element_at THROW on out-of-bounds, and a 1-token doc yields
+    # starts=[1] with toks[2] unset. try_element_at returns NULL there,
+    # which the w2 <> '' filter drops — exactly what the DuckDB twin does
+    # (toks[i+1] out of range is NULL in DuckDB).
     grams = F.transform(
         starts, lambda i: F.struct(F.try_element_at("toks", i).alias("w1"),
                                    F.try_element_at("toks", i + 1).alias("w2"))
     )
-    # One-shot multi-consumer cut at the COMPACT representation (the
-    # r18 triangles lesson): without it the optimizer pushes each
-    # consumer's grouping-key filter (w1 <> '', w2 <> '') below the
-    # aggregate, the four exchange subtrees stop being identical, and
-    # ReusedExchange no longer dedups them — measured 4 corpus scans
-    # and 10 jobs. Raw localCheckpoint per the lineage.py adoption
-    # policy (not loop-consumed, not session-memoized).
-    pair_counts = (
+    big = (
         tok.select(F.explode(grams).alias("g"))
         .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_xy"))
-    ).localCheckpoint()  # one-shot: 4 consumers of the vocab-pair table
-    big = pair_counts.filter(
-        (F.col("w1") != "") & (F.col("w2") != "")
-    ).filter(F.col("c_xy") >= 5)
-    uni = (
-        pair_counts.filter(F.col("w1") != "")
-        .groupBy("w1")
-        .agg(F.sum("c_xy").alias("c_tok"))
+        .filter(F.col("c_xy") >= 5)
     )
-    n_total = uni.agg(F.sum("c_tok").alias("n")).select("n")
-    u1 = uni.select(F.col("w1"), F.col("c_tok").alias("c_x"))
-    u2 = uni.select(F.col("w1").alias("w2"), F.col("c_tok").alias("c_y"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c_y"))
     return (
         big.join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")

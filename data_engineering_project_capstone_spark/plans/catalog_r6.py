@@ -50,26 +50,12 @@ def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalar, and the final per-source sum is a sources-sized
     shuffle. Survives 1000 executors because nothing after the first
     combine is proportional to corpus size.
-
-    r19: src_cnt is CUT (one-shot localCheckpoint at the compact
-    sources×vocab representation) — its four consumers (src_tot,
-    corp_cnt, the scalar total, the readout join) prune it differently,
-    so the optimizer specializes the subtree per consumer and
-    ReusedExchange stops deduping the corpus explode: measured 4
-    documents scans per run (plan census). The input is spread before
-    the tokenize (single-row-group bench layout; no-op at scale).
     """
-    from ..operators.layout import spread_scan
-
     docs = t(spark, sf_dir, "documents")
-    tok = (
-        spread_scan(docs.select("source", "text"))
-        .select("source", F.explode(_toks()).alias("tok"))
-        .filter(F.col("tok") != "")
+    tok = docs.select("source", F.explode(_toks()).alias("tok")).filter(
+        F.col("tok") != ""
     )
-    src_cnt = tok.groupBy("source", "tok").agg(
-        F.count("*").alias("c_st")
-    ).localCheckpoint()  # one-shot: 4 consumers of the sources-x-vocab table
+    src_cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
     src_tot = src_cnt.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     corp_cnt = src_cnt.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     n_total = corp_cnt.agg(F.sum("c_t").alias("n")).select("n")

@@ -535,20 +535,16 @@ def boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the wire, then a doc-keyed count. A hot boilerplate window costs
     its own group row, never a pairwise blow-up.
 
-    r19: n_windows is a per-row EXPRESSION (size of the starts range),
-    not a count over a third explode of the corpus — one full
-    tokenize+window-hash pass gone at any scale. The remaining two
-    passes (window DF counts; per-doc boiler join) are the operator's
-    shape; the scan is spread first (single-row-group bench layout
-    serialized the window hashing; no-op at scale). Interleaved A/B:
-    3.23 -> 2.74s min, results identical.
+    r19: n_windows is a per-row EXPRESSION summed per doc_id (the
+    length of the starts range), not a count over a third explode of
+    the corpus — one full tokenize+window-hash pass gone at any scale
+    (noop-sink interleave 3.23 -> 2.74s; neutral under the bench's
+    count() action, which prunes most of this entry either way). A
+    spread_scan of the input was measured under count() and dropped:
+    +0.07s of exchange against work count() never evaluates.
     """
-    from ..operators.layout import spread_scan
-
     docs = t(spark, sf_dir, "documents")
-    tok = spread_scan(docs.select("doc_id", "source", "text")).select(
-        "doc_id", "source", _toks().alias("toks")
-    )
+    tok = docs.select("doc_id", "source", _toks().alias("toks"))
     starts = F.when(
         F.size("toks") >= _BW,
         F.sequence(F.lit(1), F.size("toks") - F.lit(_BW - 1)),

@@ -52,17 +52,13 @@ PINNED: dict[str, list[str]] = {
         "return df.checkpoint(eager=True)",
         "return df.localCheckpoint(eager=eager)",
     ],
-    # one-shot (r19): token_bigram_pmi's (w1,w2) pair-count table — the
-    # bigram/unigram/total consumers' pushed grouping-key filters
-    # otherwise specialize the corpus subtree per consumer (4 scans)
-    "plans/catalog_r5.py": [
-        ").localCheckpoint() # one-shot: 4 consumers of the vocab-pair table",
-    ],
-    # one-shot (r19): kl_source_drift's sources×vocab counts and
-    # dsir_importance's vocab counts — same pruning-specialization
-    # disease, same compact-representation cut
+    # one-shot (r19): dsir_importance's vocab counts — tot and ratio
+    # prune the subtree differently, so without the cut each re-derives
+    # the corpus explode+count (the pmi/kl twins of this cut were
+    # measured SLOWER under the bench's count() action — which prunes
+    # the uncut forms' duplicate subtrees below the cut's cost — and
+    # reverted; dsir's cut wins under both actions)
     "plans/catalog_r6.py": [
-        ").localCheckpoint() # one-shot: 4 consumers of the sources-x-vocab table",
         ").localCheckpoint() # one-shot: tot + ratio consumers of the vocab table",
     ],
     # one-shot: |langs|²-row confusion table (3 consumers), daily agg
